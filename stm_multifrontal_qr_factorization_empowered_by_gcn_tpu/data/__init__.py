@@ -1,0 +1,7 @@
+from .graph import Graph, from_edge_index, edge_index_of
+from .batch import batch_graphs, pad_graph, pad_to_bucket, bucket_shape, unbatch
+
+__all__ = [
+    "Graph", "from_edge_index", "edge_index_of",
+    "batch_graphs", "pad_graph", "pad_to_bucket", "bucket_shape", "unbatch",
+]

@@ -1,0 +1,79 @@
+"""SAGEConv — reference ``torch_geometric/nn/conv/sage_conv.py:11-84``.
+
+``x'_i = W1 x_i + W2 · mean_{j∈N(i)} x_j``, optional L2 output normalization.
+Supports bipartite ``(x_src, x_dst)`` inputs for sampled blocks, which is how
+the reference's distributed GraphSAGE consumes NeighborSampler output
+(``examples/multi_gpu/distributed_sampling.py:27-34``).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...data.graph import Graph
+from ..inits import kaiming_uniform, linear_bias
+from ..message_passing import MessagePassing, propagate
+
+
+class SAGEConv(MessagePassing):
+    in_channels: Union[int, Tuple[int, int]]
+    out_channels: int
+    normalize: bool = False
+    use_bias: bool = True
+    root_weight: bool = True
+    aggr: str = "mean"
+    indices_are_sorted: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Union[jnp.ndarray, Tuple[jnp.ndarray, Optional[jnp.ndarray]]],
+        graph_or_senders: Union[Graph, jnp.ndarray],
+        receivers: Optional[jnp.ndarray] = None,
+        *,
+        num_nodes: Optional[int] = None,
+        edge_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if isinstance(graph_or_senders, Graph):
+            g = graph_or_senders
+            senders, receivers = g.senders, g.receivers
+            num_nodes = g.num_nodes if num_nodes is None else num_nodes
+            edge_mask = g.edge_mask() if edge_mask is None else edge_mask
+        else:
+            senders = graph_or_senders
+
+        x_pair = x if isinstance(x, tuple) else (x, x)
+        if num_nodes is None:
+            num_nodes = x_pair[1].shape[0]
+
+        in_src, in_dst = (
+            self.in_channels
+            if isinstance(self.in_channels, tuple)
+            else (self.in_channels, self.in_channels)
+        )
+
+        out = propagate(
+            x_pair,
+            senders,
+            receivers,
+            num_nodes,
+            edge_mask=edge_mask,
+            aggr=self.aggr,
+            indices_are_sorted=self.indices_are_sorted,
+        )
+        w_l = self.param("lin_l_weight", kaiming_uniform(), (in_src, self.out_channels))
+        out = out @ w_l
+        if self.use_bias:
+            out = out + self.param("lin_l_bias", linear_bias(in_src), (self.out_channels,))
+
+        x_r = x_pair[1]
+        if self.root_weight and x_r is not None:
+            w_r = self.param("lin_r_weight", kaiming_uniform(), (in_dst, self.out_channels))
+            out = out + x_r @ w_r
+
+        if self.normalize:
+            norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+            out = out / jnp.maximum(norm, 1e-12)
+        return out
