@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Evaluate the reordering classifier on the 8 held-out paper matrices —
+reference ``GCN_classifier/testgraph.py`` (per-graph prediction + latency).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", default="data/Classtest")
+    ap.add_argument("--matrices-dir", default="data/matrices")
+    ap.add_argument("--ckpt", default="models_ckpt/graphmodel_best.msgpack")
+    ap.add_argument("--real-structure-only", action="store_true")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu", "axon"])
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.data import DataLoader
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.datasets import (
+        ClassorderTest,
+    )
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.models.reorder_classifier import (
+        ReorderClassifier,
+    )
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.train.trainer import (
+        Trainer,
+    )
+
+    ds = ClassorderTest(
+        args.data_root,
+        matrices_dir=args.matrices_dir,
+        real_structure_only=args.real_structure_only,
+    )
+    loader = DataLoader(ds, 1)
+
+    model = ReorderClassifier()
+    trainer = Trainer(model)
+    trainer.restore(args.ckpt, example=next(iter(loader)))
+
+    apply = jax.jit(lambda p, g: model.apply(p, g, train=False))
+
+    correct = total = 0
+    for batch in loader:
+        g = jax.tree_util.tree_map(jnp.asarray, batch)
+        apply(trainer.params, g)  # warm the cache so timing excludes compile
+        t0 = time.time()
+        out = jax.block_until_ready(apply(trainer.params, g))
+        dt = time.time() - t0
+        pred = int(jnp.argmax(out[0]))
+        y = int(np.asarray(g.y).ravel()[0])
+        gid = int(np.asarray(g.nodes)[0, 0])
+        real = float(np.asarray(g.globals)[0, 10]) > 0
+        print(f"id= [{gid}] out= {pred} y= {y} real_structure= {real} , time= {dt:.4f}")
+        correct += int(pred == y)
+        total += 1
+    print(f"correct {correct}, total {total}")
+    print("accuracy: ", correct / max(total, 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,4 +10,4 @@ as stmgcn`` (or use the ``stmgcn`` convenience package).
 """
 __version__ = "0.1.0"
 
-from . import data, datasets, io, nn, ops, parallel, transforms, utils  # noqa: F401
+from . import data, datasets, io, models, nn, ops, parallel, train, transforms, utils  # noqa: F401

@@ -1,7 +1,10 @@
 from .graph import Graph, from_edge_index, edge_index_of
 from .batch import batch_graphs, pad_graph, pad_to_bucket, bucket_shape, unbatch
+from .dataset import Dataset, InMemoryDataset, save_graphs, load_graphs
+from .dataloader import DataLoader
 
 __all__ = [
     "Graph", "from_edge_index", "edge_index_of",
     "batch_graphs", "pad_graph", "pad_to_bucket", "bucket_shape", "unbatch",
+    "Dataset", "InMemoryDataset", "save_graphs", "load_graphs", "DataLoader",
 ]

@@ -1,0 +1,104 @@
+"""The flagship model: GCN reordering classifier.
+
+Canonical architecture from the reference's *test-time* network
+(``GCN_classifier/testgraph.py:50-84``; the train script's TopK call is a
+known bug, SURVEY.md §3.6): two GraphConv(→128) layers with ReLU+dropout(0.2),
+concat of both layers' activations, global max pool, concat with the 10
+global extinfo features, then a 266→64→32→4 MLP with log-softmax.
+
+Input: a padded :class:`Graph` batch whose node features are the Classorder
+table ``[graph_id, row, out_deg, in_deg, elim_fill]`` (model consumes columns
+2:5, reference ``graphclass.py:82``) and whose ``globals[:, :10]`` are the raw
+extinfo stats (reference ``getexinfo``, ``graphclass.py:45-59``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..data.graph import Graph
+from ..nn.conv.graph_conv import GraphConv
+from ..nn.glob.glob import global_max_pool
+
+
+class ReorderClassifier(nn.Module):
+    hidden: int = 128
+    num_classes: int = 4
+    num_node_features: int = 3
+    num_global_features: int = 10
+    dropout_rate: float = 0.2
+    use_topk_pool: bool = False  # the (buggy) train-time variant, for parity
+    log_exinfo: bool = True
+    """Apply log1p to the raw extinfo stats.  The reference feeds raw counts
+    (n up to ~1e4, nnz up to ~6e4) straight into lin1 (graphclass.py:44-59),
+    which makes the first epochs diverge to NLL ~200 and costs thousands of
+    epochs to recover; log-scaling is a pure-win conditioning fix.  Set False
+    for strict reference parity."""
+
+    @nn.compact
+    def __call__(self, g: Graph, *, train: bool = False) -> jnp.ndarray:
+        x = g.nodes[:, 2 : 2 + self.num_node_features]
+        node_mask = g.node_mask()
+        x = jnp.where(node_mask[:, None], x, 0)
+
+        x1 = nn.relu(
+            GraphConv(self.num_node_features, self.hidden, name="conv1")(x, g)
+        )
+        x1 = nn.Dropout(self.dropout_rate, deterministic=not train)(x1)
+        x2 = nn.relu(GraphConv(self.hidden, self.hidden, name="conv2")(x1, g))
+        x2 = nn.Dropout(self.dropout_rate, deterministic=not train)(x2)
+
+        h = jnp.concatenate([x1, x2], axis=-1)
+        h = global_max_pool(h, g)  # [G_pad, 2·hidden]
+
+        exinfo = g.globals[:, : self.num_global_features]
+        if self.log_exinfo:
+            exinfo = jnp.log1p(jnp.maximum(exinfo, 0))
+        h = jnp.concatenate([h, exinfo], axis=-1)
+
+        h = nn.relu(nn.Dense(64, name="lin1")(h))
+        h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        h = nn.relu(nn.Dense(32, name="lin2")(h))
+        logits = nn.Dense(self.num_classes, name="lin3")(h)
+        return nn.log_softmax(logits)
+
+
+class MLPBaseline(nn.Module):
+    """The extinfo-only MLP-NN ablation (reference ``graphclass.py:75-94``
+    commented variant; baseline val acc 0.53–0.57 per job_MLP_NN.log)."""
+
+    num_classes: int = 4
+    num_global_features: int = 10
+    dropout_rate: float = 0.2
+    log_exinfo: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, *, train: bool = False) -> jnp.ndarray:
+        h = g.globals[:, : self.num_global_features]
+        if self.log_exinfo:
+            h = jnp.log1p(jnp.maximum(h, 0))
+        h = nn.relu(nn.Dense(64, name="lin1")(h))
+        h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        h = nn.relu(nn.Dense(32, name="lin2")(h))
+        return nn.log_softmax(nn.Dense(self.num_classes, name="lin3")(h))
+
+
+def masked_nll_loss(log_probs: jnp.ndarray, g: Graph) -> jnp.ndarray:
+    """Mean NLL over valid graphs (reference uses F.nll_loss over the batch,
+    ``graphclass.py:118``)."""
+    y = g.y.reshape(-1).astype(jnp.int32)
+    mask = g.graph_mask().astype(log_probs.dtype)
+    nll = -jnp.take_along_axis(log_probs, jnp.clip(y, 0)[:, None], axis=1)[:, 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def masked_accuracy(log_probs: jnp.ndarray, g: Graph):
+    """(correct, total) over valid graphs."""
+    pred = jnp.argmax(log_probs, axis=-1)
+    y = g.y.reshape(-1).astype(jnp.int32)
+    mask = g.graph_mask()
+    correct = jnp.sum((pred == y) & mask)
+    return correct, jnp.sum(mask)
