@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import _axis_context as _pctx
+
 ArrayLike = Any  # jnp.ndarray | np.ndarray pytree leaf
 
 
@@ -77,16 +79,23 @@ class Graph(NamedTuple):
         return _segment_ids(self.n_node, self.num_nodes)
 
     def edge_graph_ids(self) -> jnp.ndarray:
-        """``[E_pad]`` graph index of every edge."""
-        return _segment_ids(self.n_edge, self.num_edges)
+        """``[E_pad]`` graph index of every edge.  Under an active
+        ``parallel.context.edge_sharding`` scope, ``self`` holds only the
+        local shard of the edge set and ids are computed at global offsets."""
+        return _segment_ids(
+            self.n_edge, self.num_edges,
+            offset=_pctx.edge_shard_offset(self.num_edges),
+        )
 
     def node_mask(self) -> jnp.ndarray:
         """``[N_pad]`` bool — True for valid (non-padding) nodes."""
         return jnp.arange(self.num_nodes) < jnp.sum(self.n_node)
 
     def edge_mask(self) -> jnp.ndarray:
-        """``[E_pad]`` bool — True for valid (non-padding) edges."""
-        return jnp.arange(self.num_edges) < jnp.sum(self.n_edge)
+        """``[E_pad]`` bool — True for valid (non-padding) edges (offset by
+        this device's shard position under ``edge_sharding``)."""
+        off = _pctx.edge_shard_offset(self.num_edges)
+        return (jnp.arange(self.num_edges) + off) < jnp.sum(self.n_edge)
 
     def graph_mask(self) -> jnp.ndarray:
         """``[G_pad]`` bool — True for real graphs (``n_node > 0``)."""
@@ -96,16 +105,18 @@ class Graph(NamedTuple):
         return self._replace(**kwargs)
 
 
-def _segment_ids(counts: jnp.ndarray, total: int) -> jnp.ndarray:
+def _segment_ids(counts: jnp.ndarray, total: int, offset=0) -> jnp.ndarray:
     """Expand per-graph counts into an id vector of static length ``total``.
 
     Entries beyond ``sum(counts)`` (padding) get the last graph index.
     Implemented as a vectorized searchsorted so it stays O(total · G) matmul-
-    free VPU work under jit (G is tiny — the batch size).
+    free VPU work under jit (G is tiny — the batch size).  ``offset`` shifts
+    the local index range for sharded arrays.
     """
     num_graphs = counts.shape[0]
     offsets = jnp.cumsum(counts)
-    ids = jnp.sum(jnp.arange(total)[:, None] >= offsets[None, :], axis=1)
+    pos = jnp.arange(total) + offset
+    ids = jnp.sum(pos[:, None] >= offsets[None, :], axis=1)
     return jnp.minimum(ids, num_graphs - 1).astype(jnp.int32)
 
 

@@ -25,9 +25,28 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..data.graph import Graph
-from ..ops.segment import aggregate as _aggregate
+from ..ops.segment import aggregate, sharded_aggregate
+from .. import _axis_context as _pctx
 
 PairArray = Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]
+
+
+def _aggregate(aggr, msg, receivers, num_nodes, *, mask, indices_are_sorted):
+    """Local aggregate, or local-reduce + cross-shard collective when an
+    ``parallel.context.edge_sharding`` scope is active (edge-partitioned
+    graph parallelism — the propagate layer is the single place where edge
+    space collapses to node space, hence the single place a collective is
+    needed)."""
+    axis = _pctx.edge_axis()
+    if axis is None:
+        return aggregate(
+            aggr, msg, receivers, num_nodes,
+            mask=mask, indices_are_sorted=indices_are_sorted,
+        )
+    return sharded_aggregate(
+        aggr, msg, receivers, num_nodes, axis,
+        mask=mask, indices_are_sorted=indices_are_sorted,
+    )
 
 
 def propagate(

@@ -173,6 +173,99 @@ def aggregate(
     )
 
 
+def sharded_aggregate(
+    aggr: str,
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    axis_name: str,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Aggregate edge-space data whose rows are sharded over mesh axis
+    ``axis_name`` (inside ``shard_map``) into replicated node-space output.
+
+    This is the collective half of edge-partitioned graph parallelism (the
+    TPU analog of the reference's Cluster-GCN partitions + NCCL all-reduce,
+    SURVEY.md §2.3): each device reduces its local edge shard, then the
+    partials combine over ICI with ``psum``/``pmax``/``pmin``.  ``mean`` sums
+    numerator and denominator separately before dividing (a psum of local
+    means would be weighted wrongly).
+    """
+    if aggr in ("add", "sum"):
+        out = jax.ops.segment_sum(
+            _masked(data, mask, 0), segment_ids, num_segments,
+            indices_are_sorted=indices_are_sorted,
+        )
+        return jax.lax.psum(out, axis_name)
+    if aggr == "mean":
+        total = jax.lax.psum(
+            jax.ops.segment_sum(
+                _masked(data, mask, 0), segment_ids, num_segments,
+                indices_are_sorted=indices_are_sorted,
+            ),
+            axis_name,
+        )
+        ones = jnp.ones(data.shape[0], dtype=data.dtype)
+        if mask is not None:
+            ones = jnp.where(mask, ones, 0)
+        counts = jax.lax.psum(
+            jax.ops.segment_sum(
+                ones, segment_ids, num_segments,
+                indices_are_sorted=indices_are_sorted,
+            ),
+            axis_name,
+        )
+        counts = jnp.maximum(counts, 1)
+        return total / counts.reshape(counts.shape + (1,) * (data.ndim - 1))
+    if aggr in ("max", "min"):
+        ident = _neg_identity(data.dtype) if aggr == "max" else _pos_identity(data.dtype)
+        reduce = jax.ops.segment_max if aggr == "max" else jax.ops.segment_min
+        out = reduce(
+            _masked(data, mask, ident), segment_ids, num_segments,
+            indices_are_sorted=indices_are_sorted,
+        )
+        out = jax.lax.pmax(out, axis_name) if aggr == "max" else jax.lax.pmin(out, axis_name)
+        return jnp.where(out == ident, jnp.zeros_like(out), out)
+    raise ValueError(f"unknown aggregation {aggr!r}")
+
+
+def sharded_segment_softmax(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    axis_name: str,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """:func:`segment_softmax` for edge-sharded data: per-segment max and sum
+    are combined across shards so attention coefficients normalize over the
+    *global* incoming-edge set of every node."""
+    neg = _neg_identity(data.dtype)
+    seg_max = jax.lax.pmax(
+        jax.ops.segment_max(
+            _masked(data, mask, neg), segment_ids, num_segments,
+            indices_are_sorted=indices_are_sorted,
+        ),
+        axis_name,
+    )
+    seg_max = jnp.where(seg_max == neg, 0, seg_max)
+    ex = jnp.exp(data - seg_max[segment_ids])
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
+        ex = jnp.where(m, ex, 0)
+    denom = jax.lax.psum(
+        jax.ops.segment_sum(
+            ex, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+        ),
+        axis_name,
+    )
+    denom = jnp.maximum(denom, _tiny(data.dtype))
+    return ex / denom[segment_ids]
+
+
 def _neg_identity(dtype):
     if jnp.issubdtype(dtype, jnp.floating):
         return jnp.array(-jnp.inf, dtype)

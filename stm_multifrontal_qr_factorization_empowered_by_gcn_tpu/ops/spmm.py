@@ -95,3 +95,38 @@ def spmm_dense(
         x, senders, receivers, num_nodes,
         edge_weight=edge_weight, edge_mask=edge_mask, aggr=aggr,
     )
+
+
+def best_spmm(num_nodes: int, num_edges: int, num_feats: int):
+    """Pick the fastest SpMM implementation for the given static problem size.
+
+    Dispatch policy (benchmarked on TPU v5e):
+
+    * a Pallas CSR row-blocked kernel when available and the graph is large
+      enough to amortize kernel launch (see ``ops.pallas.spmm``),
+    * dense-adjacency MXU matmul when N is small (adjacency fits VMEM-ish),
+    * COO gather/segment-sum otherwise.
+
+    Returns ``run(x, senders, receivers, num_nodes, *, edge_weight=None,
+    edge_mask=None)``; receivers must be sorted ascending (the collater's CSR
+    layout guarantees this) so XLA takes its sorted-scatter path.
+    """
+    if num_nodes <= 2048:
+        return spmm_dense
+
+    try:
+        from .pallas.spmm import spmm_pallas_available, spmm_csr_pallas
+
+        if spmm_pallas_available():
+            return spmm_csr_pallas
+    except ImportError:
+        pass
+
+    def run(x, senders, receivers, n, *, edge_weight=None, edge_mask=None):
+        return spmm_coo(
+            x, senders, receivers, n,
+            edge_weight=edge_weight, edge_mask=edge_mask,
+            indices_are_sorted=True,
+        )
+
+    return run
