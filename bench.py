@@ -51,7 +51,10 @@ def main():
 
     import jax.numpy as jnp
 
-    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops import spmm
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.ell import (
+        ell_from_coo,
+        spmm_ell_sum,
+    )
 
     N = 1 << 17          # nodes
     E = 1 << 22          # edges (~4.2M)
@@ -59,19 +62,20 @@ def main():
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
-    senders = jnp.asarray(rng.integers(0, N, size=E).astype(np.int32))
-    receivers = jnp.asarray(np.sort(rng.integers(0, N, size=E).astype(np.int32)))
+    senders = rng.integers(0, N, size=E).astype(np.int32)
+    receivers = np.sort(rng.integers(0, N, size=E).astype(np.int32))
     x0 = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32), dtype)
-    w = jnp.asarray(rng.normal(size=(E,)).astype(np.float32), dtype)
+    w = rng.normal(size=(E,)).astype(np.float32)
 
-    run = spmm.best_spmm(N, E, F)
+    # one-time format conversion (the framework's ToSparseTensor analog)
+    ell = ell_from_coo(senders, receivers, N, edge_weight=w, width=64)
 
     K = 20  # static chain length (traced trip counts hang the compiler here)
 
     @jax.jit
     def chain(x):
         def body(_, x):
-            y = run(x, senders, receivers, N, edge_weight=w)
+            y = spmm_ell_sum(x, ell)
             # renormalize so the chain neither explodes nor denorms
             return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
 
@@ -84,12 +88,16 @@ def main():
     _ = float(chain(x0))    # compile + warm readback path
     _ = float(trivial(x0))
 
-    t0 = time.perf_counter()
-    _ = float(trivial(x0))
-    t_rtt = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(chain(x0))
-    t_chain = time.perf_counter() - t0
+    def best_of(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _ = float(f(x0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_rtt = best_of(trivial)     # tunnel RTT is noisy: use min-of-3
+    t_chain = best_of(chain)
     dt = max((t_chain - t_rtt) / K, 1e-9)
 
     edges_per_s = E / dt

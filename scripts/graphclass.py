@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--mlp-baseline", action="store_true",
                     help="extinfo-only MLP-NN ablation (job_MLP_NN.log)")
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu", "axon"])
+    ap.add_argument(
+        "--mode", default="loop", choices=["loop", "scan-full", "scan-mini"],
+        help="loop: host epoch loop (reference-shaped); scan-full: whole "
+        "training as one on-device lax.scan over full-batch epochs; "
+        "scan-mini: on-device scan over pre-padded minibatches",
+    )
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -57,6 +63,53 @@ def main():
 
     kw = {"log_exinfo": not args.strict_parity}
     model = MLPBaseline(**kw) if args.mlp_baseline else ReorderClassifier(**kw)
+
+    if args.mode != "loop":
+        import flax.serialization
+        import numpy as np
+
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.train.scan_trainer import (
+            fullbatch_fit,
+            make_padded_batches,
+            minibatch_fit,
+            pad_dataset,
+        )
+
+        graphs = [train_ds.get(i) for i in range(len(train_ds))]
+        vg = pad_dataset([val_ds.get(i) for i in range(len(val_ds))])
+        t0 = time.time()
+        if args.mode == "scan-full":
+            tg = pad_dataset(graphs)
+            print(f"devices: {jax.devices()}  full-batch: {tg.num_nodes} nodes "
+                  f"{tg.num_edges} edges")
+            res = fullbatch_fit(
+                model, tg, vg, epochs=args.epochs,
+                learning_rate=args.lr, seed=args.seed,
+            )
+        else:
+            sb = make_padded_batches(graphs, args.batch_size, seed=args.seed)
+            print(f"devices: {jax.devices()}  batches: {sb.n_node.shape[0]} x "
+                  f"({sb.nodes.shape[1]} nodes, {sb.senders.shape[1]} edges)")
+            res = minibatch_fit(
+                model, sb, vg, epochs=args.epochs,
+                learning_rate=args.lr, seed=args.seed,
+            )
+        dt = time.time() - t0
+        for e in range(0, args.epochs, max(args.eval_every, 1)):
+            print(f"Epoch: {e:04d}, Loss: {res.losses[e]:.4f}, "
+                  f"accuracy: {res.val_accuracy[e]:.4f}")
+        print(f"best val accuracy: {res.best_val_accuracy:.4f}  "
+              f"({args.epochs} epochs in {dt:.0f}s incl. compile)")
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        for name, p in [("best", res.best_params), (f"ep{args.epochs}", res.params)]:
+            with open(os.path.join(args.ckpt_dir, f"graphmodel_{name}.msgpack"), "wb") as f:
+                f.write(flax.serialization.to_bytes({"params": p}))
+        np.savez(
+            os.path.join(args.ckpt_dir, "train_curve.npz"),
+            losses=res.losses, val_accuracy=res.val_accuracy,
+        )
+        return
+
     trainer = Trainer(model, learning_rate=args.lr, seed=args.seed)
 
     example = next(iter(train_loader))

@@ -1,12 +1,35 @@
 from . import inits
 from .message_passing import MessagePassing, propagate
-from .conv import GCNConv, GraphConv, SAGEConv
+from .conv import (
+    APPNP,
+    ARMAConv,
+    ChebConv,
+    ClusterGCNConv,
+    EdgeConv,
+    GATConv,
+    GATv2Conv,
+    GCN2Conv,
+    GCNConv,
+    GINConv,
+    GINEConv,
+    GatedGraphConv,
+    GraphConv,
+    NNConv,
+    ResGatedGraphConv,
+    SAGEConv,
+    SGConv,
+    TAGConv,
+    TransformerConv,
+)
 from .glob import global_add_pool, global_max_pool, global_mean_pool, global_min_pool
 from .pool import TopKPooling, topk_pool
 
 __all__ = [
     "inits", "MessagePassing", "propagate",
-    "GCNConv", "GraphConv", "SAGEConv",
+    "APPNP", "ARMAConv", "ChebConv", "ClusterGCNConv", "EdgeConv",
+    "GATConv", "GATv2Conv", "GCN2Conv", "GCNConv", "GINConv", "GINEConv",
+    "GatedGraphConv", "GraphConv", "NNConv", "ResGatedGraphConv",
+    "SAGEConv", "SGConv", "TAGConv", "TransformerConv",
     "global_add_pool", "global_max_pool", "global_mean_pool", "global_min_pool",
     "TopKPooling", "topk_pool",
 ]

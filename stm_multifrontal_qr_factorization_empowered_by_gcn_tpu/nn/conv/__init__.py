@@ -1,5 +1,31 @@
+from .cheb_conv import ChebConv
+from .edge_conv import EdgeConv, GatedGraphConv, NNConv, ResGatedGraphConv
+from .gat_conv import GATConv, GATv2Conv
+from .gcn2_arma_transformer import ARMAConv, GCN2Conv, TransformerConv
 from .gcn_conv import GCNConv
+from .gin_conv import GINConv, GINEConv
 from .graph_conv import GraphConv
 from .sage_conv import SAGEConv
+from .sg_appnp_tag import APPNP, ClusterGCNConv, SGConv, TAGConv
 
-__all__ = ["GCNConv", "GraphConv", "SAGEConv"]
+__all__ = [
+    "APPNP",
+    "ARMAConv",
+    "ChebConv",
+    "ClusterGCNConv",
+    "EdgeConv",
+    "GATConv",
+    "GATv2Conv",
+    "GCN2Conv",
+    "GCNConv",
+    "GINConv",
+    "GINEConv",
+    "GatedGraphConv",
+    "GraphConv",
+    "NNConv",
+    "ResGatedGraphConv",
+    "SAGEConv",
+    "SGConv",
+    "TAGConv",
+    "TransformerConv",
+]

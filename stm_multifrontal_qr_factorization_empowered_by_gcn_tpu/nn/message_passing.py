@@ -81,6 +81,27 @@ def propagate(
     )
 
 
+def resolve_graph_args(x, graph_or_senders, receivers=None, num_nodes=None, edge_mask=None):
+    """Common argument unpacking for conv layers: accept either a
+    :class:`Graph` or raw ``(senders, receivers)`` COO arrays.
+
+    Returns ``(x_pair, senders, receivers, num_nodes, edge_mask, edge_attr)``.
+    """
+    edge_attr = None
+    if isinstance(graph_or_senders, Graph):
+        g = graph_or_senders
+        senders, receivers = g.senders, g.receivers
+        num_nodes = g.num_nodes if num_nodes is None else num_nodes
+        edge_mask = g.edge_mask() if edge_mask is None else edge_mask
+        edge_attr = g.edges
+    else:
+        senders = graph_or_senders
+    x_pair = x if isinstance(x, tuple) else (x, x)
+    if num_nodes is None:
+        num_nodes = x_pair[1].shape[0]
+    return x_pair, senders, receivers, num_nodes, edge_mask, edge_attr
+
+
 class MessagePassing(nn.Module):
     """Base class for conv layers.  Subclasses override :meth:`message` (and
     optionally :meth:`update` / :meth:`message_and_aggregate`) and declare

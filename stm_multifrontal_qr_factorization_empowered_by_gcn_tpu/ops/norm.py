@@ -16,6 +16,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
+from .. import _axis_context as _pctx
 from .segment import segment_sum
 
 
@@ -49,8 +50,11 @@ def gcn_norm(
         edge_weight = jnp.where(edge_mask, edge_weight, 0)
 
     deg_index = receivers if flow_src_to_dst else senders
-    deg = segment_sum(
-        edge_weight, deg_index, num_nodes, indices_are_sorted=indices_are_sorted
+    deg = _pctx.cross_shard_sum(
+        segment_sum(
+            edge_weight, deg_index, num_nodes,
+            indices_are_sorted=indices_are_sorted,
+        )
     )
     if add_self_loops:
         deg = deg + fill

@@ -22,7 +22,8 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from .segment import aggregate
+from .. import _axis_context as _pctx
+from .segment import aggregate, sharded_aggregate
 
 
 def spmm_coo(
@@ -36,10 +37,20 @@ def spmm_coo(
     aggr: str = "add",
     indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
-    """COO gather–scatter SpMM. ``x``: [N, F] → out [num_nodes, F]."""
+    """COO gather–scatter SpMM. ``x``: [N, F] → out [num_nodes, F].
+
+    Under an active ``parallel.context.edge_sharding`` scope the segment
+    reduction finishes with the cross-shard collective (edge-partitioned
+    graph parallelism)."""
     msg = x[senders]
     if edge_weight is not None:
         msg = msg * edge_weight[:, None]
+    axis = _pctx.edge_axis()
+    if axis is not None:
+        return sharded_aggregate(
+            aggr, msg, receivers, num_nodes, axis,
+            mask=edge_mask, indices_are_sorted=indices_are_sorted,
+        )
     return aggregate(
         aggr,
         msg,

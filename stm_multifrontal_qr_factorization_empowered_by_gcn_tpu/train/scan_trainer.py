@@ -1,0 +1,213 @@
+"""On-device training loops — ``lax.scan`` over epochs, one jit call.
+
+The reference trains with a Python epoch loop dispatching ~100 small batches
+per epoch to the GPU (``graphclass.py:104-200``).  Through this image's TPU
+tunnel each dispatch costs tens of ms of RTT, and even locally the launch
+overhead dwarfs the per-batch compute for 408 tiny graphs.  The TPU-native
+formulation runs the *entire* training — forward, backward, Adam update,
+per-epoch validation metrics, best-checkpoint tracking — inside one compiled
+``lax.scan``; the host reads back the metric arrays (and best params) once.
+
+Two modes:
+
+* :func:`fullbatch_fit` — all graphs in one padded batch, one step per epoch
+  (the efficient default; 272 train graphs = 2M edges fit easily).
+* :func:`minibatch_fit` — pre-padded fixed batches, per-epoch on-device
+  order shuffling, matching the reference's batch-4 SGD noise profile.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.batch import batch_graphs, pad_graph
+from ..data.graph import Graph
+from ..models.reorder_classifier import masked_accuracy, masked_nll_loss
+
+
+class FitResult(NamedTuple):
+    params: any
+    best_params: any
+    losses: np.ndarray        # [epochs]
+    val_accuracy: np.ndarray  # [epochs]
+    best_val_accuracy: float
+
+
+def pad_dataset(graphs: Sequence[Graph], *, node_multiple=1024, edge_multiple=4096) -> Graph:
+    """One padded disconnected union of an entire dataset."""
+    b = batch_graphs(list(graphs))
+    n = int(np.sum(b.n_node)) + 1
+    e = int(np.sum(b.n_edge))
+    n_pad = -(-n // node_multiple) * node_multiple
+    e_pad = -(-e // edge_multiple) * edge_multiple
+    return pad_graph(b, num_nodes=n_pad, num_edges=e_pad, num_graphs=len(graphs) + 1)
+
+
+def fullbatch_fit(
+    model,
+    train_graph: Graph,
+    val_graph: Graph,
+    *,
+    epochs: int,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+    loss_fn=masked_nll_loss,
+) -> FitResult:
+    tx = optax.adam(learning_rate)
+    tg = jax.tree_util.tree_map(jnp.asarray, train_graph)
+    vg = jax.tree_util.tree_map(jnp.asarray, val_graph)
+
+    params0 = model.init(jax.random.key(seed), tg)
+    opt0 = tx.init(params0)
+
+    def loss(params, g, key):
+        logp = model.apply(params, g, train=True, rngs={"dropout": key})
+        return loss_fn(logp, g)
+
+    @jax.jit
+    def run(params, opt_state, key):
+        def epoch_step(carry, e):
+            params, opt_state, best_params, best_acc = carry
+            k = jax.random.fold_in(key, e)
+            l, grads = jax.value_and_grad(loss)(params, tg, k)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            logp = model.apply(params2, vg, train=False)
+            c, t = masked_accuracy(logp, vg)
+            acc = c.astype(jnp.float32) / jnp.maximum(t, 1)
+            improved = acc > best_acc
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b), best_params, params2
+            )
+            best_acc = jnp.maximum(best_acc, acc)
+            return (params2, opt_state2, best_params, best_acc), (l, acc)
+
+        carry0 = (params, opt_state, params, jnp.float32(0))
+        carry, (losses, accs) = jax.lax.scan(
+            epoch_step, carry0, jnp.arange(epochs)
+        )
+        params, opt_state, best_params, best_acc = carry
+        return params, best_params, losses, accs, best_acc
+
+    params, best_params, losses, accs, best_acc = run(params0, opt0, jax.random.key(seed + 1))
+    return FitResult(
+        params=jax.device_get(params),
+        best_params=jax.device_get(best_params),
+        losses=np.asarray(losses),
+        val_accuracy=np.asarray(accs),
+        best_val_accuracy=float(best_acc),
+    )
+
+
+def make_padded_batches(
+    graphs: Sequence[Graph],
+    batch_size: int,
+    *,
+    seed: int = 0,
+    node_multiple: int = 1024,
+    edge_multiple: int = 4096,
+) -> Graph:
+    """Stack ``ceil(G/batch_size)`` equally-padded batches on a leading axis.
+
+    Membership is fixed (seeded shuffle once); per-epoch SGD noise comes from
+    on-device batch-order shuffling in :func:`minibatch_fit`.  Graphs are
+    assigned round-robin after a size sort so batch node-counts stay balanced
+    and the shared pad shape tight.
+    """
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(graphs))
+    sizes = np.asarray([int(np.sum(graphs[i].n_node)) for i in order])
+    order = order[np.argsort(-sizes, kind="stable")]
+    nb = -(-len(graphs) // batch_size)
+    members = [[] for _ in range(nb)]
+    for j, gi in enumerate(order):  # serpentine round-robin balance
+        row = j // nb
+        col = j % nb if row % 2 == 0 else nb - 1 - (j % nb)
+        members[col].append(graphs[int(gi)])
+    batches = [batch_graphs(m) for m in members]
+    n_pad = -(-(max(int(np.sum(b.n_node)) for b in batches) + 1) // node_multiple) * node_multiple
+    e_pad = -(-max(int(np.sum(b.n_edge)) for b in batches) // edge_multiple) * edge_multiple
+    g_pad = batch_size + 1
+    padded = [
+        pad_graph(b, num_nodes=n_pad, num_edges=e_pad, num_graphs=g_pad)
+        for b in batches
+    ]
+
+    def _stack(*leaves):
+        return np.stack([np.asarray(l) for l in leaves], axis=0)
+
+    return jax.tree_util.tree_map(_stack, *padded)
+
+
+def minibatch_fit(
+    model,
+    stacked_batches: Graph,
+    val_graph: Graph,
+    *,
+    epochs: int,
+    learning_rate: float = 1e-4,
+    seed: int = 0,
+    loss_fn=masked_nll_loss,
+    eval_every: int = 1,
+) -> FitResult:
+    """Reference-faithful minibatch SGD (batch order reshuffled on device each
+    epoch), still one jit call for the whole run."""
+    tx = optax.adam(learning_rate)
+    sb = jax.tree_util.tree_map(jnp.asarray, stacked_batches)
+    vg = jax.tree_util.tree_map(jnp.asarray, val_graph)
+    nb = sb.n_node.shape[0]
+
+    example = jax.tree_util.tree_map(lambda a: a[0], sb)
+    params0 = model.init(jax.random.key(seed), example)
+    opt0 = tx.init(params0)
+
+    def loss(params, g, key):
+        logp = model.apply(params, g, train=True, rngs={"dropout": key})
+        return loss_fn(logp, g)
+
+    @jax.jit
+    def run(params, opt_state, key):
+        def epoch_step(carry, e):
+            params, opt_state, best_params, best_acc = carry
+            ek = jax.random.fold_in(key, e)
+            perm = jax.random.permutation(ek, nb)
+
+            def batch_step(c, i):
+                params, opt_state = c
+                g = jax.tree_util.tree_map(lambda a: a[i], sb)
+                k = jax.random.fold_in(ek, i)
+                l, grads = jax.value_and_grad(loss)(params, g, k)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), l
+
+            (params, opt_state), ls = jax.lax.scan(
+                batch_step, (params, opt_state), perm
+            )
+            logp = model.apply(params, vg, train=False)
+            c, t = masked_accuracy(logp, vg)
+            acc = c.astype(jnp.float32) / jnp.maximum(t, 1)
+            improved = acc > best_acc
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b), best_params, params
+            )
+            best_acc = jnp.maximum(best_acc, acc)
+            return (params, opt_state, best_params, best_acc), (jnp.mean(ls), acc)
+
+        carry0 = (params, opt_state, params, jnp.float32(0))
+        carry, (losses, accs) = jax.lax.scan(epoch_step, carry0, jnp.arange(epochs))
+        params, opt_state, best_params, best_acc = carry
+        return params, best_params, losses, accs, best_acc
+
+    params, best_params, losses, accs, best_acc = run(params0, opt0, jax.random.key(seed + 1))
+    return FitResult(
+        params=jax.device_get(params),
+        best_params=jax.device_get(best_params),
+        losses=np.asarray(losses),
+        val_accuracy=np.asarray(accs),
+        best_val_accuracy=float(best_acc),
+    )
