@@ -84,7 +84,7 @@ def main():
                   f"{tg.num_edges} edges")
             res = fullbatch_fit(
                 model, tg, vg, epochs=args.epochs,
-                learning_rate=args.lr, seed=args.seed,
+                learning_rate=args.lr, seed=args.seed, progress=True,
             )
         else:
             sb = make_padded_batches(graphs, args.batch_size, seed=args.seed)
@@ -92,7 +92,7 @@ def main():
                   f"({sb.nodes.shape[1]} nodes, {sb.senders.shape[1]} edges)")
             res = minibatch_fit(
                 model, sb, vg, epochs=args.epochs,
-                learning_rate=args.lr, seed=args.seed,
+                learning_rate=args.lr, seed=args.seed, progress=True,
             )
         dt = time.time() - t0
         for e in range(0, args.epochs, max(args.eval_every, 1)):

@@ -2,9 +2,17 @@ from .graph import Graph, from_edge_index, edge_index_of
 from .batch import batch_graphs, pad_graph, pad_to_bucket, bucket_shape, unbatch
 from .dataset import Dataset, InMemoryDataset, save_graphs, load_graphs
 from .dataloader import DataLoader
+from .sampler import (
+    BipartiteBlock, CSRTable, GraphSAINTSampler, NeighborSampler,
+    RandomNodeSampler, build_csr_table, sample_block, sample_fanout,
+)
+from .cluster import ClusterData, ClusterLoader, bfs_partition
 
 __all__ = [
     "Graph", "from_edge_index", "edge_index_of",
     "batch_graphs", "pad_graph", "pad_to_bucket", "bucket_shape", "unbatch",
     "Dataset", "InMemoryDataset", "save_graphs", "load_graphs", "DataLoader",
+    "BipartiteBlock", "CSRTable", "GraphSAINTSampler", "NeighborSampler",
+    "RandomNodeSampler", "build_csr_table", "sample_block", "sample_fanout",
+    "ClusterData", "ClusterLoader", "bfs_partition",
 ]

@@ -1,0 +1,279 @@
+"""Sampling pipelines — reference ``torch_geometric/data/sampler.py:31-259``,
+``data/cluster.py``, ``data/graph_saint.py``.
+
+The reference samples neighborhoods on CPU workers through torch-sparse's
+C++ ``sample_adj`` and ships ragged bipartite blocks to the GPU.  Here the
+fanout sampler runs **on device**: a padded-CSR neighbor table lives in HBM,
+``jax.random`` draws fixed-shape neighbor blocks under jit, and every layer's
+block has static ``(B, B·fanout)`` shapes — no host round trips, no ragged
+shapes, reverse-layer order identical to the reference's ``EdgeIndex`` list
+(``sampler.py:150-173``).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import Graph
+
+
+class CSRTable(NamedTuple):
+    """Padded in-neighbor table (receiver-major CSR, like the reference's
+    transposed ``SparseTensor`` at ``sampler.py:57-63``)."""
+
+    neighbors: jnp.ndarray  # [N, width] int32; row n = in-neighbors of n
+    degrees: jnp.ndarray    # [N] int32 true in-degree (uncapped)
+    width: int
+
+
+def build_csr_table(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    width: Optional[int] = None,
+) -> CSRTable:
+    """Host-side one-time build; width defaults to the max in-degree."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    deg = np.bincount(receivers, minlength=num_nodes)
+    width = int(deg.max()) if width is None else width
+    width = max(width, 1)
+    order = np.argsort(receivers, kind="stable")
+    s, r = senders[order], receivers[order]
+    table = np.zeros((num_nodes, width), np.int32)
+    start = np.concatenate([[0], np.cumsum(deg)])
+    rank = np.arange(len(s)) - start[r]
+    keep = rank < width
+    table[r[keep], rank[keep]] = s[keep]
+    return CSRTable(
+        neighbors=jnp.asarray(table),
+        degrees=jnp.asarray(deg.astype(np.int32)),
+        width=width,
+    )
+
+
+class BipartiteBlock(NamedTuple):
+    """One sampled message-passing layer (reference's ``EdgeIndex`` block).
+
+    * ``src_ids`` — [S] global ids of source nodes; the first ``num_dst``
+      entries are the destination nodes themselves (PyG convention, so
+      ``(x_src, x_src[:num_dst])`` works for SAGE-style roots).
+    * ``senders``/``receivers`` — [E] *local* indices: senders into
+      ``src_ids``, receivers into ``dst`` = first ``num_dst`` of ``src_ids``.
+    * ``edge_mask`` — [E] False for slots past a node's true degree.
+    """
+
+    src_ids: jnp.ndarray
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    edge_mask: jnp.ndarray
+    num_dst: int
+
+
+def sample_block(
+    key: jax.Array, table: CSRTable, seeds: jnp.ndarray, fanout: int
+) -> BipartiteBlock:
+    """Sample ``fanout`` in-neighbors (with replacement) per seed — fixed
+    shapes, jittable, vmapped across the batch."""
+    b = seeds.shape[0]
+    deg = table.degrees[seeds]                        # [B] true in-degree
+    deg_capped = jnp.minimum(deg, table.width)        # only first `width` stored
+    idx = jax.random.randint(key, (b, fanout), 0, 1 << 30)
+    slot = idx % jnp.maximum(deg_capped[:, None], 1)
+    nbrs = table.neighbors[seeds[:, None], slot]      # [B, fanout]
+    mask = jnp.broadcast_to((deg > 0)[:, None], (b, fanout))
+    src_ids = jnp.concatenate([seeds, nbrs.reshape(-1)])
+    senders = b + jnp.arange(b * fanout, dtype=jnp.int32)
+    receivers = jnp.repeat(jnp.arange(b, dtype=jnp.int32), fanout)
+    return BipartiteBlock(
+        src_ids=src_ids,
+        senders=senders,
+        receivers=receivers,
+        edge_mask=mask.reshape(-1),
+        num_dst=b,
+    )
+
+
+def sample_fanout(
+    key: jax.Array, table: CSRTable, seeds: jnp.ndarray, fanouts: Sequence[int]
+) -> List[BipartiteBlock]:
+    """Layered fanout sampling (e.g. ``[25, 10]``); returns blocks in
+    REVERSE layer order like the reference (outermost first,
+    ``sampler.py:160-168``), so iterating the list applies layer 1 last."""
+    blocks = []
+    frontier = seeds
+    for i, f in enumerate(fanouts):
+        key, sub = jax.random.split(key)
+        blk = sample_block(sub, table, frontier, f)
+        blocks.append(blk)
+        frontier = blk.src_ids
+    return blocks[::-1]
+
+
+class NeighborSampler:
+    """Minibatch iterator over seed nodes — API shape of the reference
+    ``NeighborSampler(edge_index, sizes, batch_size, shuffle)``."""
+
+    def __init__(
+        self,
+        senders: np.ndarray,
+        receivers: np.ndarray,
+        num_nodes: int,
+        sizes: Sequence[int],
+        node_idx: Optional[np.ndarray] = None,
+        batch_size: int = 512,
+        shuffle: bool = False,
+        seed: int = 0,
+        table_width: Optional[int] = None,
+    ):
+        self.table = build_csr_table(
+            senders, receivers, num_nodes, width=table_width
+        )
+        self.sizes = list(sizes)
+        self.node_idx = (
+            np.arange(num_nodes) if node_idx is None else np.asarray(node_idx)
+        )
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        return len(self.node_idx) // self.batch_size
+
+    def __iter__(self):
+        idx = self.node_idx.copy()
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+            self._epoch += 1
+        key = jax.random.key(self.seed * 7919 + self._epoch)
+        # drop last partial batch: fixed shapes
+        for i in range(len(self)):
+            batch = jnp.asarray(
+                idx[i * self.batch_size : (i + 1) * self.batch_size].astype(np.int32)
+            )
+            key, sub = jax.random.split(key)
+            yield batch, sample_fanout(sub, self.table, batch, self.sizes)
+
+
+class RandomNodeSampler:
+    """reference ``data/sampler.py:179-259`` — split nodes into ``num_parts``
+    random buckets, yield each bucket's induced subgraph (host-side)."""
+
+    def __init__(self, graph: Graph, num_parts: int, shuffle: bool = False, seed: int = 0):
+        self.graph = graph
+        self.num_parts = num_parts
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def __iter__(self):
+        from ..utils.subgraph import induced_subgraph
+
+        n = int(np.sum(self.graph.n_node))
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        parts = np.array_split(order, self.num_parts)
+        for p in parts:
+            yield induced_subgraph(self.graph, np.sort(p))
+
+
+def saint_node_sample(rng: np.random.Generator, graph: Graph, budget: int) -> np.ndarray:
+    """GraphSAINT node sampler (reference ``graph_saint.py:87-95``):
+    sample nodes by degree-proportional probability."""
+    n = int(np.sum(graph.n_node))
+    deg = np.bincount(np.asarray(graph.receivers), minlength=n) + 1.0
+    p = deg / deg.sum()
+    return np.unique(rng.choice(n, size=budget, p=p))
+
+
+def saint_edge_sample(rng: np.random.Generator, graph: Graph, budget: int) -> np.ndarray:
+    """GraphSAINT edge sampler: pick edges ∝ 1/deg_s + 1/deg_r, return their
+    endpoint node set (reference ``graph_saint.py:98-110``)."""
+    n = int(np.sum(graph.n_node))
+    s, r = np.asarray(graph.senders), np.asarray(graph.receivers)
+    deg = np.bincount(r, minlength=n) + 1.0
+    p = 1.0 / deg[s] + 1.0 / deg[r]
+    p = p / p.sum()
+    e = rng.choice(len(s), size=budget, p=p)
+    return np.unique(np.concatenate([s[e], r[e]]))
+
+
+def saint_walk_sample(
+    rng: np.random.Generator, graph: Graph, roots: int, walk_length: int
+) -> np.ndarray:
+    """GraphSAINT random-walk sampler (host-side numpy walks)."""
+    n = int(np.sum(graph.n_node))
+    s, r = np.asarray(graph.senders), np.asarray(graph.receivers)
+    order = np.argsort(s, kind="stable")
+    s_sorted, r_sorted = s[order], r[order]
+    deg = np.bincount(s, minlength=n)
+    start = np.concatenate([[0], np.cumsum(deg)])
+    cur = rng.integers(0, n, size=roots)
+    visited = [cur]
+    for _ in range(walk_length):
+        d = deg[cur]
+        nxt = cur.copy()
+        has = d > 0
+        offs = (rng.integers(0, 1 << 30, size=roots) % np.maximum(d, 1)) + start[cur]
+        nxt[has] = r_sorted[offs[has]]
+        cur = nxt
+        visited.append(cur)
+    return np.unique(np.concatenate(visited))
+
+
+class GraphSAINTSampler:
+    """Iterator yielding induced subgraphs from one of the three SAINT
+    samplers, with the normalization statistics estimated like the reference
+    (``graph_saint.py:113-160``: node/edge visit counts over ``num_steps``
+    pre-sampling passes)."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        *,
+        mode: str = "node",
+        budget: int = 512,
+        walk_length: int = 2,
+        num_steps: int = 10,
+        sample_coverage: int = 20,
+        seed: int = 0,
+    ):
+        self.graph = graph
+        self.mode = mode
+        self.budget = budget
+        self.walk_length = walk_length
+        self.num_steps = num_steps
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
+        n = int(np.sum(graph.n_node))
+        counts = np.zeros(n)
+        for _ in range(sample_coverage):
+            counts[self._sample_nodes()] += 1
+        self.node_norm = len(counts) * counts / max(counts.sum(), 1)
+
+    def _sample_nodes(self) -> np.ndarray:
+        if self.mode == "node":
+            return saint_node_sample(self._rng, self.graph, self.budget)
+        if self.mode == "edge":
+            return saint_edge_sample(self._rng, self.graph, self.budget)
+        if self.mode == "walk":
+            return saint_walk_sample(
+                self._rng, self.graph, self.budget, self.walk_length
+            )
+        raise ValueError(f"unknown mode {self.mode!r}")
+
+    def __iter__(self):
+        from ..utils.subgraph import induced_subgraph
+
+        for _ in range(self.num_steps):
+            nodes = self._sample_nodes()
+            yield induced_subgraph(self.graph, nodes), nodes

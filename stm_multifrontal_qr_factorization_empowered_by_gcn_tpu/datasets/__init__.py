@@ -1,4 +1,8 @@
 from .classorder import Classorder, ClassorderTest
+from .reorder import Reorder
 from .synth_structure import synthesize_triplets, synthesize_features
 
-__all__ = ["Classorder", "ClassorderTest", "synthesize_triplets", "synthesize_features"]
+__all__ = [
+    "Classorder", "ClassorderTest", "Reorder",
+    "synthesize_triplets", "synthesize_features",
+]

@@ -1,5 +1,23 @@
 from .reorder_classifier import (
-    ReorderClassifier, MLPBaseline, masked_nll_loss, masked_accuracy,
+    MLPBaseline,
+    ReorderClassifier,
+    masked_accuracy,
+    masked_nll_loss,
+)
+from .sage_order import (
+    SageOrderNet,
+    order_mse_loss,
+    order_position_accuracy,
+    predicted_ordering,
 )
 
-__all__ = ["ReorderClassifier", "MLPBaseline", "masked_nll_loss", "masked_accuracy"]
+__all__ = [
+    "MLPBaseline",
+    "ReorderClassifier",
+    "masked_accuracy",
+    "masked_nll_loss",
+    "SageOrderNet",
+    "order_mse_loss",
+    "order_position_accuracy",
+    "predicted_ordering",
+]

@@ -1,0 +1,19 @@
+from .layers import (
+    DenseGCNConv,
+    DenseGINConv,
+    DenseGraphConv,
+    DenseSAGEConv,
+    dense_diff_pool,
+    dense_mincut_pool,
+    to_dense_adjacency,
+)
+
+__all__ = [
+    "DenseGCNConv",
+    "DenseGINConv",
+    "DenseGraphConv",
+    "DenseSAGEConv",
+    "dense_diff_pool",
+    "dense_mincut_pool",
+    "to_dense_adjacency",
+]

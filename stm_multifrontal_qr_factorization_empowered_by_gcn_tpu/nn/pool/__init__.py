@@ -1,3 +1,4 @@
-from .topk_pool import TopKPooling, topk_pool, TopKOutput
+from .sag_pool import SAGPooling
+from .topk_pool import TopKOutput, TopKPooling, topk_pool
 
-__all__ = ["TopKPooling", "topk_pool", "TopKOutput"]
+__all__ = ["SAGPooling", "TopKOutput", "TopKPooling", "topk_pool"]

@@ -56,20 +56,27 @@ def fullbatch_fit(
     learning_rate: float = 1e-3,
     seed: int = 0,
     loss_fn=masked_nll_loss,
+    chunk_epochs: int = 200,
+    progress: bool = False,
 ) -> FitResult:
+    """Scan runs in ``chunk_epochs``-sized device calls (one compilation, a
+    short host loop) — bounding single-execution length keeps flaky
+    transports happy and gives natural checkpoint/progress points."""
     tx = optax.adam(learning_rate)
     tg = jax.tree_util.tree_map(jnp.asarray, train_graph)
     vg = jax.tree_util.tree_map(jnp.asarray, val_graph)
 
-    params0 = model.init(jax.random.key(seed), tg)
-    opt0 = tx.init(params0)
+    params = model.init(jax.random.key(seed), tg)
+    opt_state = tx.init(params)
 
     def loss(params, g, key):
         logp = model.apply(params, g, train=True, rngs={"dropout": key})
         return loss_fn(logp, g)
 
+    chunk = min(chunk_epochs, epochs)
+
     @jax.jit
-    def run(params, opt_state, key):
+    def run(params, opt_state, best_params, best_acc, epoch0, key):
         def epoch_step(carry, e):
             params, opt_state, best_params, best_acc = carry
             k = jax.random.fold_in(key, e)
@@ -86,19 +93,36 @@ def fullbatch_fit(
             best_acc = jnp.maximum(best_acc, acc)
             return (params2, opt_state2, best_params, best_acc), (l, acc)
 
-        carry0 = (params, opt_state, params, jnp.float32(0))
+        carry0 = (params, opt_state, best_params, best_acc)
         carry, (losses, accs) = jax.lax.scan(
-            epoch_step, carry0, jnp.arange(epochs)
+            epoch_step, carry0, epoch0 + jnp.arange(chunk)
         )
         params, opt_state, best_params, best_acc = carry
-        return params, best_params, losses, accs, best_acc
+        return params, opt_state, best_params, best_acc, losses, accs
 
-    params, best_params, losses, accs, best_acc = run(params0, opt0, jax.random.key(seed + 1))
+    key = jax.random.key(seed + 1)
+    best_params, best_acc = params, jnp.float32(0)
+    all_losses, all_accs = [], []
+    for e0 in range(0, epochs, chunk):
+        params, opt_state, best_params, best_acc, losses, accs = run(
+            params, opt_state, best_params, best_acc, jnp.int32(e0), key
+        )
+        all_losses.append(np.asarray(losses))
+        all_accs.append(np.asarray(accs))
+        if progress:
+            print(
+                f"  epoch {e0 + chunk}/{epochs}: loss={all_losses[-1][-1]:.4f} "
+                f"val_acc={all_accs[-1][-1]:.4f} best={float(best_acc):.4f}",
+                flush=True,
+            )
+
+    losses = np.concatenate(all_losses)[:epochs]
+    accs = np.concatenate(all_accs)[:epochs]
     return FitResult(
         params=jax.device_get(params),
         best_params=jax.device_get(best_params),
-        losses=np.asarray(losses),
-        val_accuracy=np.asarray(accs),
+        losses=losses,
+        val_accuracy=accs,
         best_val_accuracy=float(best_acc),
     )
 
@@ -152,25 +176,28 @@ def minibatch_fit(
     learning_rate: float = 1e-4,
     seed: int = 0,
     loss_fn=masked_nll_loss,
-    eval_every: int = 1,
+    chunk_epochs: int = 100,
+    progress: bool = False,
 ) -> FitResult:
     """Reference-faithful minibatch SGD (batch order reshuffled on device each
-    epoch), still one jit call for the whole run."""
+    epoch), chunked into bounded device calls like :func:`fullbatch_fit`."""
     tx = optax.adam(learning_rate)
     sb = jax.tree_util.tree_map(jnp.asarray, stacked_batches)
     vg = jax.tree_util.tree_map(jnp.asarray, val_graph)
     nb = sb.n_node.shape[0]
 
     example = jax.tree_util.tree_map(lambda a: a[0], sb)
-    params0 = model.init(jax.random.key(seed), example)
-    opt0 = tx.init(params0)
+    params = model.init(jax.random.key(seed), example)
+    opt_state = tx.init(params)
 
     def loss(params, g, key):
         logp = model.apply(params, g, train=True, rngs={"dropout": key})
         return loss_fn(logp, g)
 
+    chunk = min(chunk_epochs, epochs)
+
     @jax.jit
-    def run(params, opt_state, key):
+    def run(params, opt_state, best_params, best_acc, epoch0, key):
         def epoch_step(carry, e):
             params, opt_state, best_params, best_acc = carry
             ek = jax.random.fold_in(key, e)
@@ -198,16 +225,33 @@ def minibatch_fit(
             best_acc = jnp.maximum(best_acc, acc)
             return (params, opt_state, best_params, best_acc), (jnp.mean(ls), acc)
 
-        carry0 = (params, opt_state, params, jnp.float32(0))
-        carry, (losses, accs) = jax.lax.scan(epoch_step, carry0, jnp.arange(epochs))
+        carry0 = (params, opt_state, best_params, best_acc)
+        carry, (losses, accs) = jax.lax.scan(
+            epoch_step, carry0, epoch0 + jnp.arange(chunk)
+        )
         params, opt_state, best_params, best_acc = carry
-        return params, best_params, losses, accs, best_acc
+        return params, opt_state, best_params, best_acc, losses, accs
 
-    params, best_params, losses, accs, best_acc = run(params0, opt0, jax.random.key(seed + 1))
+    key = jax.random.key(seed + 1)
+    best_params, best_acc = params, jnp.float32(0)
+    all_losses, all_accs = [], []
+    for e0 in range(0, epochs, chunk):
+        params, opt_state, best_params, best_acc, losses, accs = run(
+            params, opt_state, best_params, best_acc, jnp.int32(e0), key
+        )
+        all_losses.append(np.asarray(losses))
+        all_accs.append(np.asarray(accs))
+        if progress:
+            print(
+                f"  epoch {e0 + chunk}/{epochs}: loss={all_losses[-1][-1]:.4f} "
+                f"val_acc={all_accs[-1][-1]:.4f} best={float(best_acc):.4f}",
+                flush=True,
+            )
+
     return FitResult(
         params=jax.device_get(params),
         best_params=jax.device_get(best_params),
-        losses=np.asarray(losses),
-        val_accuracy=np.asarray(accs),
+        losses=np.concatenate(all_losses)[:epochs],
+        val_accuracy=np.concatenate(all_accs)[:epochs],
         best_val_accuracy=float(best_acc),
     )

@@ -6,10 +6,12 @@ from .undirected import coalesce, to_undirected, is_undirected, sort_by_receiver
 from .softmax import softmax
 from .to_dense_batch import to_dense_batch, from_dense_batch
 from .metric import accuracy, precision, recall, f1_score
+from .subgraph import induced_subgraph, k_hop_subgraph
 
 __all__ = [
     "degree", "add_self_loops", "add_remaining_self_loops", "remove_self_loops",
     "contains_self_loops", "coalesce", "to_undirected", "is_undirected",
     "sort_by_receiver", "softmax", "to_dense_batch", "from_dense_batch",
     "accuracy", "precision", "recall", "f1_score",
+    "induced_subgraph", "k_hop_subgraph",
 ]
