@@ -1,0 +1,501 @@
+// Fill-reducing ordering + symbolic-fill toolkit (C++17, no deps).
+//
+// TPU-native equivalent of the reference's ordering stack capability
+// (SURVEY.md §2.2 C5-C8): the brute-force ordering labeler of
+// STMMQR/src/chol/SparseChol_analyze.c:429-613 picks, per matrix, the
+// fill-minimizing method among {AMD, COLAMD, METIS-ND, NESDIS}.  This
+// module provides the same *capability* — written from scratch against the
+// published algorithms, not translated:
+//   * minimum-degree ordering on a quotient graph (Markowitz/MD with element
+//     absorption — the algorithmic core of AMD),
+//   * column minimum-degree for QR/least-squares (MD on the A^T A pattern
+//     with row cliques, the COLAMD problem statement),
+//   * reverse Cuthill-McKee (bandwidth ordering),
+//   * nested dissection via BFS level-set bisection with separator last
+//     (the METIS_NodeND / NESDIS role),
+//   * symbolic Cholesky fill count for an arbitrary ordering via quotient-
+//     graph elimination (the lnz metric the labeler minimizes),
+//   * BFS-grow graph partitioner (Cluster-GCN / multi-host edge partition).
+//
+// Exposed with a flat C ABI for ctypes (no pybind11 in this image).
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <queue>
+#include <vector>
+
+using std::vector;
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// CSR adjacency helpers (undirected; callers pre-symmetrize)
+// ---------------------------------------------------------------------------
+struct Adj {
+  vector<int64_t> ptr;
+  vector<int32_t> idx;
+  int32_t n = 0;
+};
+
+Adj build_adj(int32_t n, int64_t nnz, const int32_t* src, const int32_t* dst,
+              bool symmetrize) {
+  Adj a;
+  a.n = n;
+  vector<int64_t> deg(n + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) {
+    if (src[e] == dst[e]) continue;  // no self loops in adjacency
+    deg[src[e] + 1]++;
+    if (symmetrize) deg[dst[e] + 1]++;
+  }
+  a.ptr.assign(n + 1, 0);
+  for (int32_t i = 0; i < n; ++i) a.ptr[i + 1] = a.ptr[i] + deg[i + 1];
+  a.idx.resize(a.ptr[n]);
+  vector<int64_t> fill = a.ptr;
+  for (int64_t e = 0; e < nnz; ++e) {
+    if (src[e] == dst[e]) continue;
+    a.idx[fill[src[e]]++] = dst[e];
+    if (symmetrize) a.idx[fill[dst[e]]++] = src[e];
+  }
+  // dedup neighbor lists
+  vector<int32_t> out;
+  out.reserve(a.idx.size());
+  vector<int64_t> nptr(n + 1, 0);
+  for (int32_t i = 0; i < n; ++i) {
+    auto b = a.idx.begin() + a.ptr[i], e = a.idx.begin() + a.ptr[i + 1];
+    std::sort(b, e);
+    auto last = std::unique(b, e);
+    for (auto it = b; it != last; ++it) out.push_back(*it);
+    nptr[i + 1] = (int64_t)out.size();
+  }
+  a.idx = std::move(out);
+  a.ptr = std::move(nptr);
+  return a;
+}
+
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee
+// ---------------------------------------------------------------------------
+int32_t pseudo_peripheral(const Adj& a, const vector<char>& allowed,
+                          int32_t start) {
+  // repeated BFS to find a far vertex
+  int32_t cur = start;
+  int32_t best_ecc = -1;
+  for (int iter = 0; iter < 4; ++iter) {
+    vector<int32_t> dist(a.n, -1);
+    std::queue<int32_t> q;
+    q.push(cur);
+    dist[cur] = 0;
+    int32_t far = cur, ecc = 0;
+    while (!q.empty()) {
+      int32_t v = q.front();
+      q.pop();
+      for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p) {
+        int32_t u = a.idx[p];
+        if (!allowed[u] || dist[u] >= 0) continue;
+        dist[u] = dist[v] + 1;
+        if (dist[u] > ecc) { ecc = dist[u]; far = u; }
+        q.push(u);
+      }
+    }
+    if (ecc <= best_ecc) break;
+    best_ecc = ecc;
+    cur = far;
+  }
+  return cur;
+}
+
+void rcm_order_impl(const Adj& a, int32_t* perm) {
+  vector<char> visited(a.n, 0), allowed(a.n, 1);
+  vector<int32_t> deg(a.n);
+  for (int32_t i = 0; i < a.n; ++i) deg[i] = (int32_t)(a.ptr[i + 1] - a.ptr[i]);
+  int64_t k = 0;
+  vector<int32_t> order;
+  order.reserve(a.n);
+  for (int32_t s = 0; s < a.n; ++s) {
+    if (visited[s]) continue;
+    int32_t root = pseudo_peripheral(a, allowed, s);
+    if (visited[root]) root = s;
+    std::queue<int32_t> q;
+    q.push(root);
+    visited[root] = 1;
+    while (!q.empty()) {
+      int32_t v = q.front();
+      q.pop();
+      order.push_back(v);
+      vector<int32_t> nbrs;
+      for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p)
+        if (!visited[a.idx[p]]) nbrs.push_back(a.idx[p]);
+      std::sort(nbrs.begin(), nbrs.end(),
+                [&](int32_t x, int32_t y) { return deg[x] < deg[y]; });
+      for (int32_t u : nbrs) {
+        if (!visited[u]) { visited[u] = 1; q.push(u); }
+      }
+    }
+  }
+  (void)k;
+  // reverse
+  for (int32_t i = 0; i < a.n; ++i) perm[i] = order[a.n - 1 - i];
+}
+
+// ---------------------------------------------------------------------------
+// Quotient-graph minimum degree with element absorption.
+//
+// State per node: either a live variable, an element (eliminated, holds its
+// boundary set), or dead (absorbed).  Eliminating variable v forms element v
+// with L_v = (adjacent variables) ∪ (variables of adjacent elements) \ {v};
+// adjacent elements are absorbed into v.  Degree of a variable is
+// approximated by |A_i| + Σ|L_e| (AMD's upper bound, cheap to maintain).
+// ---------------------------------------------------------------------------
+struct MDResult {
+  vector<int32_t> perm;   // perm[k] = node eliminated at step k
+  int64_t lnz = 0;        // Σ_k |L_k| + n  (column counts incl. diagonal)
+  int64_t flops = 0;      // Σ_k |L_k|^2 (Cholesky flop proxy)
+};
+
+// `init_elements`: optional pre-seeded cliques (COLAMD-style row elements) —
+// element ids start at n.  When given, `a` may be an empty adjacency.
+MDResult min_degree(const Adj& a, const int32_t* given_order /*nullable*/,
+                    const vector<vector<int32_t>>* init_elements = nullptr) {
+  const int32_t n = a.n;
+  const int32_t ne0 = init_elements ? (int32_t)init_elements->size() : 0;
+  vector<vector<int32_t>> varadj(n);       // variable-variable adjacency
+  vector<vector<int32_t>> eladj(n);        // variable -> adjacent elements
+  vector<vector<int32_t>> elnodes(n + ne0);  // element -> boundary variables
+  vector<char> eliminated(n, 0);
+  vector<int64_t> approx_deg(n, 0);
+  for (int32_t i = 0; i < n; ++i) {
+    varadj[i].assign(a.idx.begin() + a.ptr[i], a.idx.begin() + a.ptr[i + 1]);
+    approx_deg[i] = (int64_t)varadj[i].size();
+  }
+  if (init_elements) {
+    for (int32_t e = 0; e < ne0; ++e) {
+      elnodes[n + e] = (*init_elements)[e];
+      for (int32_t v : elnodes[n + e]) {
+        eladj[v].push_back(n + e);
+        approx_deg[v] += (int64_t)elnodes[n + e].size() - 1;
+      }
+    }
+  }
+
+  // bucket queue on approximate degree (monotone enough for MD heuristics)
+  vector<vector<int32_t>> buckets(n + 1);
+  vector<int32_t> bucket_of(n, -1);
+  if (!given_order) {
+    for (int32_t i = 0; i < n; ++i) {
+      int64_t d = std::min<int64_t>(approx_deg[i], n);
+      buckets[d].push_back(i);
+      bucket_of[i] = (int32_t)d;
+    }
+  }
+  int64_t cursor = 0;
+
+  MDResult res;
+  res.perm.resize(n);
+  vector<char> mark(n, 0);
+  vector<int32_t> boundary;
+
+  for (int32_t k = 0; k < n; ++k) {
+    int32_t v = -1;
+    if (given_order) {
+      v = given_order[k];
+    } else {
+      while (true) {
+        while (cursor <= n && buckets[cursor].empty()) ++cursor;
+        v = buckets[cursor].back();
+        buckets[cursor].pop_back();
+        if (eliminated[v]) continue;
+        int64_t d = std::min<int64_t>(approx_deg[v], n);
+        if (d != cursor) {  // stale entry: reinsert at true bucket
+          buckets[d].push_back(v);
+          if (d < cursor) cursor = d;
+          continue;
+        }
+        break;
+      }
+    }
+
+    // form boundary L_v
+    boundary.clear();
+    mark[v] = 1;
+    for (int32_t u : varadj[v])
+      if (!eliminated[u] && !mark[u]) { mark[u] = 1; boundary.push_back(u); }
+    for (int32_t e : eladj[v]) {
+      for (int32_t u : elnodes[e])
+        if (!eliminated[u] && !mark[u]) { mark[u] = 1; boundary.push_back(u); }
+      elnodes[e].clear();
+      elnodes[e].shrink_to_fit();  // absorbed
+    }
+
+    const int64_t lk = (int64_t)boundary.size();
+    res.lnz += lk + 1;
+    res.flops += lk * lk;
+    res.perm[k] = v;
+    eliminated[v] = 1;
+
+    // update boundary variables: drop v and absorbed elements, add element v
+    elnodes[v] = boundary;
+    for (int32_t u : boundary) {
+      auto& ea = eladj[u];
+      size_t w = 0;
+      for (size_t r = 0; r < ea.size(); ++r)
+        if (!elnodes[ea[r]].empty() || ea[r] == v) ea[w++] = ea[r];
+      ea.resize(w);
+      ea.push_back(v);
+      // prune eliminated vars from varadj[u] lazily + recompute approx degree
+      auto& va = varadj[u];
+      size_t w2 = 0;
+      for (size_t r = 0; r < va.size(); ++r)
+        if (!eliminated[va[r]]) va[w2++] = va[r];
+      va.resize(w2);
+      int64_t d = (int64_t)va.size();
+      for (int32_t e : ea) d += (int64_t)elnodes[e].size() - 1;
+      approx_deg[u] = std::max<int64_t>(d, (int64_t)lk - 1);
+      if (!given_order) {
+        int64_t b = std::min<int64_t>(approx_deg[u], n);
+        buckets[b].push_back(u);
+        if (b < cursor) cursor = b;
+      }
+    }
+    for (int32_t u : boundary) mark[u] = 0;
+    mark[v] = 0;
+    varadj[v].clear();
+    varadj[v].shrink_to_fit();
+    eladj[v].clear();
+  }
+  return res;
+}
+
+// ---------------------------------------------------------------------------
+// Nested dissection: BFS level-set bisection, separator ordered last,
+// min-degree on small leaves.
+// ---------------------------------------------------------------------------
+void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
+                vector<int32_t>& out) {
+  const int32_t m = (int32_t)nodes.size();
+  if (m == 0) return;
+  if (m <= leaf_size) {
+    // min-degree on the induced subgraph
+    vector<int32_t> local(a.n, -1);
+    for (int32_t i = 0; i < m; ++i) local[nodes[i]] = i;
+    vector<int32_t> src, dst;
+    for (int32_t i = 0; i < m; ++i) {
+      int32_t v = nodes[i];
+      for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p) {
+        int32_t u = a.idx[p];
+        if (local[u] >= 0) { src.push_back(i); dst.push_back(local[u]); }
+      }
+    }
+    Adj sub = build_adj(m, (int64_t)src.size(), src.data(), dst.data(), false);
+    MDResult r = min_degree(sub, nullptr);
+    for (int32_t i = 0; i < m; ++i) out.push_back(nodes[r.perm[i]]);
+    return;
+  }
+  // BFS from a pseudo-peripheral node of the induced subgraph
+  vector<char> in(a.n, 0);
+  for (int32_t v : nodes) in[v] = 1;
+  vector<int32_t> dist(a.n, -1);
+  std::queue<int32_t> q;
+  int32_t root = nodes[0];
+  // quick pseudo-peripheral: 2 BFS passes
+  for (int pass = 0; pass < 2; ++pass) {
+    std::fill(dist.begin(), dist.end(), -1);
+    while (!q.empty()) q.pop();
+    q.push(root);
+    dist[root] = 0;
+    int32_t far = root;
+    while (!q.empty()) {
+      int32_t v = q.front();
+      q.pop();
+      if (dist[v] > dist[far]) far = v;
+      for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p) {
+        int32_t u = a.idx[p];
+        if (in[u] && dist[u] < 0) { dist[u] = dist[v] + 1; q.push(u); }
+      }
+    }
+    root = far;
+  }
+  std::fill(dist.begin(), dist.end(), -1);
+  while (!q.empty()) q.pop();
+  q.push(root);
+  dist[root] = 0;
+  int32_t maxd = 0;
+  int64_t reached = 0;
+  while (!q.empty()) {
+    int32_t v = q.front();
+    q.pop();
+    reached++;
+    maxd = std::max(maxd, dist[v]);
+    for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p) {
+      int32_t u = a.idx[p];
+      if (in[u] && dist[u] < 0) { dist[u] = dist[v] + 1; q.push(u); }
+    }
+  }
+  // disconnected pieces or path-like graph: give unreached to side A
+  // choose split level so halves balance
+  vector<int64_t> level_cnt(maxd + 2, 0);
+  for (int32_t v : nodes)
+    if (dist[v] >= 0) level_cnt[dist[v]]++;
+  int64_t acc = 0;
+  int32_t split = 0;
+  for (int32_t l = 0; l <= maxd; ++l) {
+    acc += level_cnt[l];
+    if (acc >= reached / 2) { split = l; break; }
+  }
+  vector<int32_t> left, right, sep;
+  for (int32_t v : nodes) {
+    if (dist[v] < 0 || dist[v] < split) left.push_back(v);
+    else if (dist[v] == split) sep.push_back(v);
+    else right.push_back(v);
+  }
+  if (left.empty() || right.empty()) {
+    // bisection failed (clique-ish): fall back to min-degree on the part
+    vector<int32_t> all = nodes;
+    int32_t save = leaf_size;
+    (void)save;
+    vector<int32_t> local(a.n, -1);
+    for (size_t i = 0; i < all.size(); ++i) local[all[i]] = (int32_t)i;
+    vector<int32_t> src, dst;
+    for (size_t i = 0; i < all.size(); ++i) {
+      int32_t v = all[i];
+      for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p)
+        if (local[a.idx[p]] >= 0) {
+          src.push_back((int32_t)i);
+          dst.push_back(local[a.idx[p]]);
+        }
+    }
+    Adj sub = build_adj((int32_t)all.size(), (int64_t)src.size(), src.data(),
+                        dst.data(), false);
+    MDResult r = min_degree(sub, nullptr);
+    for (size_t i = 0; i < all.size(); ++i) out.push_back(all[r.perm[i]]);
+    return;
+  }
+  nd_recurse(a, left, leaf_size, out);
+  nd_recurse(a, right, leaf_size, out);
+  for (int32_t v : sep) out.push_back(v);  // separator eliminated last
+}
+
+// ---------------------------------------------------------------------------
+// BFS-grow balanced partitioner (ClusterData / multi-host edge partition)
+// ---------------------------------------------------------------------------
+void bfs_partition_impl(const Adj& a, int32_t parts, int32_t* part) {
+  const int32_t n = a.n;
+  const int64_t target = (n + parts - 1) / parts;
+  std::fill(part, part + n, -1);
+  std::queue<int32_t> q;
+  int32_t cur = 0;
+  int64_t count = 0;
+  int32_t scan = 0;
+  while (true) {
+    if (q.empty()) {
+      while (scan < n && part[scan] != -1) ++scan;
+      if (scan == n) break;
+      q.push(scan);
+    }
+    int32_t v = q.front();
+    q.pop();
+    if (part[v] != -1) continue;
+    part[v] = cur;
+    if (++count >= target && cur < parts - 1) {
+      ++cur;
+      count = 0;
+      std::queue<int32_t>().swap(q);
+      continue;
+    }
+    for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p)
+      if (part[a.idx[p]] == -1) q.push(a.idx[p]);
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+extern "C" {
+
+// orderings: method 0=min-degree(AMD role) 1=RCM 2=nested dissection
+// (METIS/NESDIS role).  Edges are directed pairs; symmetrized internally.
+// Returns 0 on success.
+int stm_order(int32_t n, int64_t nnz, const int32_t* src, const int32_t* dst,
+              int32_t method, int32_t* perm_out) {
+  Adj a = build_adj(n, nnz, src, dst, true);
+  if (method == 0) {
+    MDResult r = min_degree(a, nullptr);
+    std::memcpy(perm_out, r.perm.data(), sizeof(int32_t) * n);
+  } else if (method == 1) {
+    rcm_order_impl(a, perm_out);
+  } else if (method == 2 || method == 3) {
+    // 2: METIS_NodeND role (large leaves); 3: NESDIS role (deep dissection
+    // with small MD leaves — the constrained-AMD flavour of the reference)
+    vector<int32_t> nodes(n);
+    std::iota(nodes.begin(), nodes.end(), 0);
+    vector<int32_t> out;
+    out.reserve(n);
+    int32_t leaf = method == 2 ? std::max(64, n / 128) : std::max(16, n / 1024);
+    nd_recurse(a, nodes, leaf, out);
+    std::memcpy(perm_out, out.data(), sizeof(int32_t) * n);
+  } else {
+    return 1;
+  }
+  return 0;
+}
+
+// symbolic Cholesky stats of P A P^T for a given elimination order
+// (perm[k] = node eliminated at step k).  Outputs lnz (incl. diagonal) and
+// a flop proxy.  This is the labeler's min-lnz metric
+// (reference SparseChol_analyze.c:429-613 "Brute-force-fill").
+int stm_symbolic_fill(int32_t n, int64_t nnz, const int32_t* src,
+                      const int32_t* dst, const int32_t* perm,
+                      int64_t* lnz_out, int64_t* flops_out) {
+  Adj a = build_adj(n, nnz, src, dst, true);
+  MDResult r = min_degree(a, perm);
+  *lnz_out = r.lnz;
+  *flops_out = r.flops;
+  return 0;
+}
+
+// column ordering for QR: min-degree on the A^T A pattern (COLAMD role).
+// rows/cols are the rectangular matrix's entries; dense rows (deg > dense_cut)
+// are dropped from the pattern like COLAMD does.  perm_out has ncol entries.
+int stm_col_order(int32_t nrow, int32_t ncol, int64_t nnz, const int32_t* row,
+                  const int32_t* col, int32_t dense_cut, int32_t* perm_out) {
+  // build row -> cols lists
+  vector<int64_t> rdeg(nrow + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) rdeg[row[e] + 1]++;
+  vector<int64_t> rptr(nrow + 1, 0);
+  for (int32_t i = 0; i < nrow; ++i) rptr[i + 1] = rptr[i] + rdeg[i + 1];
+  vector<int32_t> rcols(nnz);
+  vector<int64_t> fill = rptr;
+  for (int64_t e = 0; e < nnz; ++e) rcols[fill[row[e]]++] = col[e];
+  if (dense_cut <= 0) dense_cut = std::max<int32_t>(16, (int32_t)(10 * std::max(1.0, std::sqrt((double)ncol))));
+  // COLAMD-style: rows enter the quotient graph directly as cliques
+  // (elements) — A^T A is never formed (the reference colamd.c's core idea;
+  // this also differentiates the column ordering from plain MD on A^T A).
+  vector<vector<int32_t>> row_elems;
+  row_elems.reserve(nrow);
+  for (int32_t i = 0; i < nrow; ++i) {
+    int64_t b = rptr[i], e = rptr[i + 1];
+    if (e - b > dense_cut || e - b < 1) continue;  // skip dense/empty rows
+    vector<int32_t> clique(rcols.begin() + b, rcols.begin() + e);
+    std::sort(clique.begin(), clique.end());
+    clique.erase(std::unique(clique.begin(), clique.end()), clique.end());
+    row_elems.push_back(std::move(clique));
+  }
+  Adj empty;
+  empty.n = ncol;
+  empty.ptr.assign(ncol + 1, 0);
+  MDResult r = min_degree(empty, nullptr, &row_elems);
+  std::memcpy(perm_out, r.perm.data(), sizeof(int32_t) * ncol);
+  return 0;
+}
+
+int stm_bfs_partition(int32_t n, int64_t nnz, const int32_t* src,
+                      const int32_t* dst, int32_t parts, int32_t* part_out) {
+  Adj a = build_adj(n, nnz, src, dst, true);
+  bfs_partition_impl(a, parts, part_out);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,189 @@
+"""ctypes bindings for the native ordering/partitioning library.
+
+The reference's native ordering stack (AMD/COLAMD/METIS/NESDIS + the
+brute-force fill labeler, SURVEY.md §2.2 C5-C8) maps to ``native/
+ordering.cpp``.  Builds on demand with ``make`` (g++ is baked into the
+image); every entry point has a documented pure-Python fallback so the
+framework works without the .so (scipy RCM, no MD).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import os.path as osp
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "native")
+_LIB_PATH = osp.join(_NATIVE_DIR, "libstmgcn_native.so")
+_lib = None
+
+METHOD_MIN_DEGREE = 0   # AMD role
+METHOD_RCM = 1
+METHOD_NESTED_DISSECTION = 2  # METIS_NodeND role
+METHOD_NESDIS = 3             # NESDIS role (deep dissection, small MD leaves)
+ORDERING_NAMES = {
+    0: "min_degree", 1: "rcm", 2: "nested_dissection", 3: "nesdis",
+}
+
+
+def build_native(force: bool = False) -> bool:
+    """Compile the shared library; returns True when available."""
+    if osp.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR], check=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        return osp.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not osp.exists(_LIB_PATH) and not build_native():
+        raise RuntimeError(
+            "native library unavailable; run `make -C native` (needs g++)"
+        )
+    lib = ctypes.CDLL(_LIB_PATH)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.stm_order.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p,
+    ]
+    lib.stm_symbolic_fill.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, i64p, i64p,
+    ]
+    lib.stm_col_order.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
+        ctypes.c_int32, i32p,
+    ]
+    lib.stm_bfs_partition.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p,
+    ]
+    for f in (lib.stm_order, lib.stm_symbolic_fill, lib.stm_col_order,
+              lib.stm_bfs_partition):
+        f.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except RuntimeError:
+        return False
+
+
+def _as_i32(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a), dtype=np.int32)
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def order(
+    senders, receivers, num_nodes: int, method: int = METHOD_MIN_DEGREE
+) -> np.ndarray:
+    """Fill-reducing ordering: ``perm[k]`` = node eliminated at step k."""
+    s, r = _as_i32(senders), _as_i32(receivers)
+    out = np.empty(num_nodes, np.int32)
+    rc = _load().stm_order(num_nodes, len(s), _ptr(s), _ptr(r), method, _ptr(out))
+    if rc != 0:
+        raise ValueError(f"stm_order failed (method={method})")
+    return out
+
+
+def symbolic_fill(senders, receivers, num_nodes: int, perm) -> Tuple[int, int]:
+    """(lnz, flop proxy) of Cholesky on P A Pᵀ for elimination order ``perm``."""
+    s, r, p = _as_i32(senders), _as_i32(receivers), _as_i32(perm)
+    lnz = ctypes.c_int64()
+    flops = ctypes.c_int64()
+    rc = _load().stm_symbolic_fill(
+        num_nodes, len(s), _ptr(s), _ptr(r), _ptr(p),
+        ctypes.byref(lnz), ctypes.byref(flops),
+    )
+    if rc != 0:
+        raise ValueError("stm_symbolic_fill failed")
+    return int(lnz.value), int(flops.value)
+
+
+def col_order(rows, cols, nrow: int, ncol: int, dense_cut: int = 0) -> np.ndarray:
+    """COLAMD-role column ordering for QR (min-degree on the AᵀA pattern)."""
+    r, c = _as_i32(rows), _as_i32(cols)
+    out = np.empty(ncol, np.int32)
+    rc = _load().stm_col_order(nrow, ncol, len(r), _ptr(r), _ptr(c), dense_cut, _ptr(out))
+    if rc != 0:
+        raise ValueError("stm_col_order failed")
+    return out
+
+
+def bfs_partition(senders, receivers, num_nodes: int, parts: int) -> np.ndarray:
+    s, r = _as_i32(senders), _as_i32(receivers)
+    out = np.empty(num_nodes, np.int32)
+    rc = _load().stm_bfs_partition(num_nodes, len(s), _ptr(s), _ptr(r), parts, _ptr(out))
+    if rc != 0:
+        raise ValueError("stm_bfs_partition failed")
+    return out
+
+
+def label_matrix(
+    rows, cols, nrow: int, ncol: int
+) -> Tuple[int, dict]:
+    """Brute-force ordering label for one matrix: evaluate the fill (lnz) of
+    the AᵀA Cholesky under each candidate column ordering and return
+    (argmin class, per-method lnz) — the reference's ``all_methods_time``
+    labeler (SparseChol_analyze.c:429-613, Brute-force-fill.txt).
+
+    Classes follow the reference CLI encoding (qrtest.c:157-169):
+    0=AMD-role MD, 1=COLAMD-role, 2=METIS-role ND, 3=NESDIS-role ND
+    (2 and 3 here differ by leaf size — both use the BFS-bisection ND).
+    """
+    rows, cols = _as_i32(rows), _as_i32(cols)
+    # AᵀA pattern (dense-row capped) as the graph being ordered
+    import collections
+
+    rdeg = np.bincount(rows, minlength=nrow)
+    cap = max(16, int(10 * np.sqrt(max(ncol, 1))))
+    keep = rdeg[rows] <= cap
+    rr, cc = rows[keep], cols[keep]
+    order_r = np.argsort(rr, kind="stable")
+    rr, cc = rr[order_r], cc[order_r]
+    s_list, d_list = [], []
+    start = 0
+    ptr = np.concatenate([[0], np.cumsum(np.bincount(rr, minlength=nrow))])
+    for i in range(nrow):
+        row_cols = cc[ptr[i]:ptr[i + 1]]
+        if len(row_cols) > 1:
+            a = np.repeat(row_cols, len(row_cols))
+            b = np.tile(row_cols, len(row_cols))
+            m = a != b
+            s_list.append(a[m])
+            d_list.append(b[m])
+    if s_list:
+        s = np.concatenate(s_list)
+        d = np.concatenate(d_list)
+    else:
+        s = np.zeros(0, np.int32)
+        d = np.zeros(0, np.int32)
+
+    fills = {}
+    perms = {
+        0: order(s, d, ncol, METHOD_MIN_DEGREE),
+        1: col_order(rows, cols, nrow, ncol),
+        2: order(s, d, ncol, METHOD_NESTED_DISSECTION),
+        3: order(s, d, ncol, METHOD_NESDIS),
+    }
+    for k, p in perms.items():
+        lnz, _ = symbolic_fill(s, d, ncol, p)
+        fills[k] = lnz
+    best = min(fills, key=fills.get)
+    return best, fills

@@ -1,0 +1,86 @@
+"""Native ordering library: exact symbolic-fill validation against a naive
+set-based elimination, permutation validity, and labeler behavior."""
+import numpy as np
+import pytest
+
+from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native library not built"
+)
+
+
+def _naive_fill(n, senders, receivers, perm):
+    """Reference elimination: lnz = sum over elimination steps of
+    |higher-ordered neighbors| + 1, updating the graph with the clique."""
+    adj = [set() for _ in range(n)]
+    for a, b in zip(senders, receivers):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    pos = np.empty(n, np.int64)
+    pos[perm] = np.arange(n)
+    eliminated = set()
+    lnz = 0
+    for v in perm:
+        boundary = {u for u in adj[v] if u not in eliminated}
+        lnz += len(boundary) + 1
+        for a in boundary:
+            adj[a] |= boundary - {a}
+            adj[a].discard(v)
+        eliminated.add(v)
+    return lnz
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_symbolic_fill_exact(seed):
+    rng = np.random.default_rng(seed)
+    n, e = 40, 120
+    s = rng.integers(0, n, e).astype(np.int32)
+    d = rng.integers(0, n, e).astype(np.int32)
+    for method in (0, 1, 2, 3):
+        perm = native.order(s, d, n, method)
+        assert sorted(perm.tolist()) == list(range(n))
+        lnz, _ = native.symbolic_fill(s, d, n, perm)
+        assert lnz == _naive_fill(n, s, d, perm), native.ORDERING_NAMES[method]
+    # natural order too
+    nat = np.arange(n, dtype=np.int32)
+    lnz, _ = native.symbolic_fill(s, d, n, nat)
+    assert lnz == _naive_fill(n, s, d, nat)
+
+
+def test_min_degree_beats_natural_on_grid():
+    n = 20
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    nid = ii * n + jj
+    s = np.concatenate([nid[:-1, :].ravel(), nid[:, :-1].ravel()]).astype(np.int32)
+    d = np.concatenate([nid[1:, :].ravel(), nid[:, 1:].ravel()]).astype(np.int32)
+    N = n * n
+    lnz_nat, _ = native.symbolic_fill(s, d, N, np.arange(N, dtype=np.int32))
+    lnz_md, _ = native.symbolic_fill(s, d, N, native.order(s, d, N, 0))
+    lnz_nd, _ = native.symbolic_fill(s, d, N, native.order(s, d, N, 2))
+    assert lnz_md < 0.7 * lnz_nat
+    assert lnz_nd < 0.7 * lnz_nat
+
+
+def test_partition_balanced_and_total():
+    rng = np.random.default_rng(0)
+    n, e = 200, 800
+    s = rng.integers(0, n, e).astype(np.int32)
+    d = rng.integers(0, n, e).astype(np.int32)
+    part = native.bfs_partition(s, d, n, 4)
+    counts = np.bincount(part, minlength=4)
+    assert counts.sum() == n
+    assert counts.max() <= -(-n // 4) + 1
+
+
+def test_label_matrix_on_real_mtx():
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.mtx import read_mtx
+
+    t = read_mtx("data/matrices/dwt_992.mtx")
+    best, fills = native.label_matrix(
+        t.rows.astype(np.int32), t.cols.astype(np.int32), t.nrow, t.ncol
+    )
+    assert best in (0, 1, 2, 3)
+    assert len(fills) == 4
+    assert all(v > t.ncol for v in fills.values())  # lnz >= diagonal count
