@@ -74,6 +74,22 @@ class BipartiteBlock(NamedTuple):
     num_dst: int
 
 
+# num_dst is a static shape parameter — keep it out of the traced leaves so
+# `h[:blk.num_dst]` stays a static slice under jit
+jax.tree_util.register_pytree_node(
+    BipartiteBlock,
+    lambda b: ((b.src_ids, b.senders, b.receivers, b.edge_mask), b.num_dst),
+    lambda aux, ch: BipartiteBlock(*ch, num_dst=aux),
+)
+
+
+jax.tree_util.register_pytree_node(
+    CSRTable,
+    lambda t: ((t.neighbors, t.degrees), t.width),
+    lambda aux, ch: CSRTable(*ch, width=aux),
+)
+
+
 def sample_block(
     key: jax.Array, table: CSRTable, seeds: jnp.ndarray, fanout: int
 ) -> BipartiteBlock:
