@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--split-seed", type=int, default=1036)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=10)
+    ap.add_argument("--dropout", type=float, default=0.2)
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--extra-train-root", default=None,
+                    help="optional second dataset root whose TRAIN split is "
+                    "appended to the training graphs (data augmentation)")
+    ap.add_argument("--extra-matrices-dir", default=None)
     ap.add_argument("--strict-parity", action="store_true",
                     help="disable log-exinfo conditioning (reference-exact inputs)")
     ap.add_argument("--mlp-baseline", action="store_true",
@@ -61,7 +67,7 @@ def main():
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
     val_loader = DataLoader(val_ds, args.batch_size)
 
-    kw = {"log_exinfo": not args.strict_parity}
+    kw = {"log_exinfo": not args.strict_parity, "dropout_rate": args.dropout}
     model = MLPBaseline(**kw) if args.mlp_baseline else ReorderClassifier(**kw)
 
     if args.mode != "loop":
@@ -76,6 +82,13 @@ def main():
         )
 
         graphs = [train_ds.get(i) for i in range(len(train_ds))]
+        if args.extra_train_root:
+            extra = Classorder(
+                args.extra_train_root, 0, split_seed=args.split_seed,
+                matrices_dir=args.extra_matrices_dir,
+            )
+            graphs += [extra.get(i) for i in range(len(extra))]
+            print(f"augmented with {len(extra)} extra training graphs")
         vg = pad_dataset([val_ds.get(i) for i in range(len(val_ds))])
         t0 = time.time()
         if args.mode == "scan-full":
@@ -84,7 +97,8 @@ def main():
                   f"{tg.num_edges} edges")
             res = fullbatch_fit(
                 model, tg, vg, epochs=args.epochs,
-                learning_rate=args.lr, seed=args.seed, progress=True,
+                learning_rate=args.lr, weight_decay=args.weight_decay,
+                seed=args.seed, progress=True,
             )
         else:
             sb = make_padded_batches(graphs, args.batch_size, seed=args.seed)
@@ -92,7 +106,8 @@ def main():
                   f"({sb.nodes.shape[1]} nodes, {sb.senders.shape[1]} edges)")
             res = minibatch_fit(
                 model, sb, vg, epochs=args.epochs,
-                learning_rate=args.lr, seed=args.seed, progress=True,
+                learning_rate=args.lr, weight_decay=args.weight_decay,
+                seed=args.seed, progress=True,
             )
         dt = time.time() - t0
         for e in range(0, args.epochs, max(args.eval_every, 1)):

@@ -10,3 +10,12 @@ from .data_parallel import (  # noqa: F401
     stack_shards,
 )
 from .mesh import DATA_AXIS, GRAPH_AXIS, make_mesh, mesh_factors  # noqa: F401
+from .partition import (  # noqa: F401
+    PartitionedGraph,
+    extended_features,
+    gather_global,
+    halo_exchange,
+    local_part,
+    partition_graph,
+    partitioned_spmm,
+)

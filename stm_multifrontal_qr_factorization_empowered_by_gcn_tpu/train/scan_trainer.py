@@ -54,6 +54,7 @@ def fullbatch_fit(
     *,
     epochs: int,
     learning_rate: float = 1e-3,
+    weight_decay: float = 0.0,
     seed: int = 0,
     loss_fn=masked_nll_loss,
     chunk_epochs: int = 200,
@@ -62,7 +63,10 @@ def fullbatch_fit(
     """Scan runs in ``chunk_epochs``-sized device calls (one compilation, a
     short host loop) — bounding single-execution length keeps flaky
     transports happy and gives natural checkpoint/progress points."""
-    tx = optax.adam(learning_rate)
+    tx = (
+        optax.adamw(learning_rate, weight_decay=weight_decay)
+        if weight_decay else optax.adam(learning_rate)
+    )
     tg = jax.tree_util.tree_map(jnp.asarray, train_graph)
     vg = jax.tree_util.tree_map(jnp.asarray, val_graph)
 
@@ -174,6 +178,7 @@ def minibatch_fit(
     *,
     epochs: int,
     learning_rate: float = 1e-4,
+    weight_decay: float = 0.0,
     seed: int = 0,
     loss_fn=masked_nll_loss,
     chunk_epochs: int = 100,
@@ -181,7 +186,10 @@ def minibatch_fit(
 ) -> FitResult:
     """Reference-faithful minibatch SGD (batch order reshuffled on device each
     epoch), chunked into bounded device calls like :func:`fullbatch_fit`."""
-    tx = optax.adam(learning_rate)
+    tx = (
+        optax.adamw(learning_rate, weight_decay=weight_decay)
+        if weight_decay else optax.adam(learning_rate)
+    )
     sb = jax.tree_util.tree_map(jnp.asarray, stacked_batches)
     vg = jax.tree_util.tree_map(jnp.asarray, val_graph)
     nb = sb.n_node.shape[0]
