@@ -7,6 +7,7 @@ from .misc_models import (
     LabelPropagation,
     dgi_loss,
 )
+from .gnn_explainer import ExplainerResult, explain as gnn_explain
 from .node2vec import NeighborTable, Node2Vec, build_neighbor_table, random_walks
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "JumpingKnowledge",
     "LabelPropagation",
     "dgi_loss",
+    "ExplainerResult",
+    "gnn_explain",
     "NeighborTable",
     "Node2Vec",
     "build_neighbor_table",
