@@ -80,7 +80,10 @@ def fullbatch_fit(
     chunk = min(chunk_epochs, epochs)
 
     @jax.jit
-    def run(params, opt_state, best_params, best_acc, epoch0, key):
+    def run(params, opt_state, best_params, best_acc, epoch0, key, tg, vg):
+        # NOTE: tg/vg are jit ARGUMENTS — closing over them would bake
+        # hundreds of MB of graph data into the executable as constants
+        # (compile-time blowup measured in tens of minutes)
         def epoch_step(carry, e):
             params, opt_state, best_params, best_acc = carry
             k = jax.random.fold_in(key, e)
@@ -109,7 +112,7 @@ def fullbatch_fit(
     all_losses, all_accs = [], []
     for e0 in range(0, epochs, chunk):
         params, opt_state, best_params, best_acc, losses, accs = run(
-            params, opt_state, best_params, best_acc, jnp.int32(e0), key
+            params, opt_state, best_params, best_acc, jnp.int32(e0), key, tg, vg
         )
         all_losses.append(np.asarray(losses))
         all_accs.append(np.asarray(accs))
@@ -205,7 +208,8 @@ def minibatch_fit(
     chunk = min(chunk_epochs, epochs)
 
     @jax.jit
-    def run(params, opt_state, best_params, best_acc, epoch0, key):
+    def run(params, opt_state, best_params, best_acc, epoch0, key, sb, vg):
+        # sb/vg as ARGUMENTS, not closure constants — see fullbatch note
         def epoch_step(carry, e):
             params, opt_state, best_params, best_acc = carry
             ek = jax.random.fold_in(key, e)
@@ -245,7 +249,7 @@ def minibatch_fit(
     all_losses, all_accs = [], []
     for e0 in range(0, epochs, chunk):
         params, opt_state, best_params, best_acc, losses, accs = run(
-            params, opt_state, best_params, best_acc, jnp.int32(e0), key
+            params, opt_state, best_params, best_acc, jnp.int32(e0), key, sb, vg
         )
         all_losses.append(np.asarray(losses))
         all_accs.append(np.asarray(accs))
