@@ -1,6 +1,7 @@
 from . import inits
 from .message_passing import MessagePassing, propagate
 from .conv import (
+    AGNNConv,
     APPNP,
     ARMAConv,
     ChebConv,
@@ -15,6 +16,7 @@ from .conv import (
     GatedGraphConv,
     GraphConv,
     NNConv,
+    PNAConv,
     ResGatedGraphConv,
     SAGEConv,
     SGConv,
@@ -26,9 +28,9 @@ from .pool import TopKPooling, topk_pool
 
 __all__ = [
     "inits", "MessagePassing", "propagate",
-    "APPNP", "ARMAConv", "ChebConv", "ClusterGCNConv", "EdgeConv",
+    "AGNNConv", "APPNP", "ARMAConv", "ChebConv", "ClusterGCNConv", "EdgeConv",
     "GATConv", "GATv2Conv", "GCN2Conv", "GCNConv", "GINConv", "GINEConv",
-    "GatedGraphConv", "GraphConv", "NNConv", "ResGatedGraphConv",
+    "GatedGraphConv", "GraphConv", "NNConv", "PNAConv", "ResGatedGraphConv",
     "SAGEConv", "SGConv", "TAGConv", "TransformerConv",
     "global_add_pool", "global_max_pool", "global_mean_pool", "global_min_pool",
     "TopKPooling", "topk_pool",

@@ -1,3 +1,4 @@
+from .agnn_pna import AGNNConv, PNAConv
 from .cheb_conv import ChebConv
 from .edge_conv import EdgeConv, GatedGraphConv, NNConv, ResGatedGraphConv
 from .gat_conv import GATConv, GATv2Conv
@@ -9,6 +10,7 @@ from .sage_conv import SAGEConv
 from .sg_appnp_tag import APPNP, ClusterGCNConv, SGConv, TAGConv
 
 __all__ = [
+    "AGNNConv",
     "APPNP",
     "ARMAConv",
     "ChebConv",
@@ -23,6 +25,7 @@ __all__ = [
     "GatedGraphConv",
     "GraphConv",
     "NNConv",
+    "PNAConv",
     "ResGatedGraphConv",
     "SAGEConv",
     "SGConv",

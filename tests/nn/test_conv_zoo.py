@@ -109,3 +109,22 @@ def test_conv_shapes_padding_jit(rng, name, layer, out_dim, opts):
     np.testing.assert_allclose(
         np.asarray(out_jit), np.asarray(out), rtol=1e-5, atol=1e-6, err_msg=name
     )
+
+
+def test_agnn_and_pna(rng):
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.nn import AGNNConv, PNAConv
+
+    g = _graph(rng)
+    gp = pad_graph(g, num_nodes=N + 4, num_edges=E + 6, num_graphs=2)
+    gj = jax.tree_util.tree_map(jnp.asarray, g)
+    gpj = jax.tree_util.tree_map(jnp.asarray, gp)
+    for layer, out_dim in [
+        (AGNNConv(), F_IN),
+        (PNAConv(F_IN, F_OUT), F_OUT),
+    ]:
+        out, params = layer.init_with_output(jax.random.key(0), gj.nodes, gj)
+        assert out.shape == (N, out_dim)
+        out_pad, _ = layer.init_with_output(jax.random.key(0), gpj.nodes, gpj)
+        np.testing.assert_allclose(
+            np.asarray(out_pad[:N]), np.asarray(out), rtol=1e-4, atol=1e-5
+        )
