@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--dropout", type=float, default=0.2)
+    ap.add_argument("--no-ell", action="store_true",
+                    help="disable the precomputed-ELL scatter-free SpMM path")
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--extra-train-root", default=None,
                     help="optional second dataset root whose TRAIN split is "
@@ -102,12 +104,19 @@ def main():
             )
         else:
             sb = make_padded_batches(graphs, args.batch_size, seed=args.seed)
+            ells = None
+            if not args.no_ell and not args.mlp_baseline:
+                from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.ell import (
+                    ell_pairs_for_batches,
+                )
+                ells = ell_pairs_for_batches(sb)
+                print(f"ELL tables: {ells[0].senders.shape} per direction")
             print(f"devices: {jax.devices()}  batches: {sb.n_node.shape[0]} x "
                   f"({sb.nodes.shape[1]} nodes, {sb.senders.shape[1]} edges)")
             res = minibatch_fit(
                 model, sb, vg, epochs=args.epochs,
                 learning_rate=args.lr, weight_decay=args.weight_decay,
-                seed=args.seed, progress=True,
+                seed=args.seed, progress=True, ells=ells,
             )
         dt = time.time() - t0
         for e in range(0, args.epochs, max(args.eval_every, 1)):

@@ -39,16 +39,20 @@ class ReorderClassifier(nn.Module):
     for strict reference parity."""
 
     @nn.compact
-    def __call__(self, g: Graph, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, g: Graph, *, train: bool = False, ell_pair=None) -> jnp.ndarray:
         x = g.nodes[:, 2 : 2 + self.num_node_features]
         node_mask = g.node_mask()
         x = jnp.where(node_mask[:, None], x, 0)
 
         x1 = nn.relu(
-            GraphConv(self.num_node_features, self.hidden, name="conv1")(x, g)
+            GraphConv(self.num_node_features, self.hidden, name="conv1")(
+                x, g, ell_pair=ell_pair
+            )
         )
         x1 = nn.Dropout(self.dropout_rate, deterministic=not train)(x1)
-        x2 = nn.relu(GraphConv(self.hidden, self.hidden, name="conv2")(x1, g))
+        x2 = nn.relu(
+            GraphConv(self.hidden, self.hidden, name="conv2")(x1, g, ell_pair=ell_pair)
+        )
         x2 = nn.Dropout(self.dropout_rate, deterministic=not train)(x2)
 
         h = jnp.concatenate([x1, x2], axis=-1)

@@ -35,6 +35,7 @@ class GraphConv(MessagePassing):
         num_nodes: Optional[int] = None,
         edge_weight: Optional[jnp.ndarray] = None,
         edge_mask: Optional[jnp.ndarray] = None,
+        ell_pair=None,
     ) -> jnp.ndarray:
         if isinstance(graph_or_senders, Graph):
             g = graph_or_senders
@@ -54,16 +55,23 @@ class GraphConv(MessagePassing):
             else (self.in_channels, self.in_channels)
         )
 
-        out = propagate(
-            x_pair,
-            senders,
-            receivers,
-            num_nodes,
-            edge_weight=edge_weight,
-            edge_mask=edge_mask,
-            aggr=self.aggr,
-            indices_are_sorted=self.indices_are_sorted,
-        )
+        if ell_pair is not None and self.aggr in ("add", "sum") and edge_weight is None:
+            # scatter-free fast path: precomputed (fwd, transpose) ELL tables
+            # (ops/ell.py); the transpose drives the backward SpMM
+            from ...ops.ell import spmm_ell
+
+            out = spmm_ell(x_pair[0], *ell_pair)
+        else:
+            out = propagate(
+                x_pair,
+                senders,
+                receivers,
+                num_nodes,
+                edge_weight=edge_weight,
+                edge_mask=edge_mask,
+                aggr=self.aggr,
+                indices_are_sorted=self.indices_are_sorted,
+            )
         # lin_l: aggregated neighbours (bias lives here, like torch Linear)
         w_l = self.param("lin_l_weight", kaiming_uniform(), (in_src, self.out_channels))
         out = out @ w_l

@@ -77,13 +77,17 @@ def ell_from_coo(
     edge_weight: Optional[np.ndarray] = None,
     width: int = 64,
     row_multiple: int = 128,
+    min_rows: int = 0,
+    force_combine: bool = False,
 ) -> EllGraph:
     """Host-side COO → ELL conversion (one-time per graph, like the
     reference's ``ToSparseTensor`` transform).
 
     Rows with degree > ``width`` become ``ceil(deg/width)`` virtual rows.
-    The virtual-row count is padded up to ``row_multiple`` so a handful of
-    compiled shapes serve all graphs of a size bucket.
+    The virtual-row count is padded up to ``row_multiple`` (and at least
+    ``min_rows`` — lets several graphs share one static shape, e.g. for
+    stacked minibatches).  ``force_combine`` pins the static combine flag so
+    a batch of tables stacks homogeneously.
     """
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)
@@ -100,7 +104,7 @@ def ell_from_coo(
     deg = np.bincount(r_sorted, minlength=num_nodes)
     vrows_per_node = np.maximum((deg + width - 1) // width, 1)
     v = int(vrows_per_node.sum())
-    v_pad = int(-(-max(v, 1) // row_multiple) * row_multiple)
+    v_pad = int(-(-max(v, 1, min_rows) // row_multiple) * row_multiple)
 
     ell_s = np.zeros((v_pad, width), np.int32)
     ell_w = np.zeros((v_pad, width), np.float32)
@@ -121,7 +125,7 @@ def ell_from_coo(
         np.arange(num_nodes, dtype=np.int32), vrows_per_node
     )
 
-    needs_combine = not (
+    needs_combine = force_combine or not (
         v_pad == num_nodes and np.array_equal(rows[:v], np.arange(num_nodes))
     )
     return EllGraph(
@@ -228,3 +232,57 @@ def _spmm_bwd(res, g):
 
 
 spmm_ell.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def ell_pairs_for_batches(
+    stacked_g, *, width: int = 64, row_multiple: int = 128
+) -> Tuple[EllGraph, EllGraph]:
+    """(forward, transpose) ELL tables for a *stacked* padded-batch Graph
+    (leading batch axis, e.g. from ``train.scan_trainer.make_padded_batches``)
+    — every batch's table padded to one common shape so the result stacks
+    into pytrees indexable per step inside ``lax.scan``.  Only valid edges
+    enter the tables (padding edges vanish instead of needing masks)."""
+    import jax as _jax
+
+    nb = stacked_g.n_node.shape[0]
+    n_pad = stacked_g.nodes.shape[1]
+    senders = np.asarray(stacked_g.senders)
+    receivers = np.asarray(stacked_g.receivers)
+    n_edge = np.asarray(stacked_g.n_edge)
+
+    # first pass: find the max virtual-row count either direction needs
+    def _rows_needed(idx, fwd):
+        ne = int(n_edge[idx].sum())
+        recv = receivers[idx, :ne] if fwd else senders[idx, :ne]
+        deg = np.bincount(recv, minlength=n_pad)
+        return int(np.maximum((deg + width - 1) // width, 1).sum())
+
+    v_need = max(
+        max(_rows_needed(i, True) for i in range(nb)),
+        max(_rows_needed(i, False) for i in range(nb)),
+    )
+
+    fwds, bwds = [], []
+    for i in range(nb):
+        ne = int(n_edge[i].sum())
+        s, r = senders[i, :ne], receivers[i, :ne]
+        fwds.append(
+            ell_from_coo(
+                s, r, n_pad, width=width, row_multiple=row_multiple,
+                min_rows=v_need, force_combine=True,
+            )
+        )
+        bwds.append(
+            ell_from_coo(
+                r, s, n_pad, width=width, row_multiple=row_multiple,
+                min_rows=v_need, force_combine=True,
+            )
+        )
+
+    def _stack(*leaves):
+        return np.stack([np.asarray(l) for l in leaves], axis=0)
+
+    return (
+        _jax.tree_util.tree_map(_stack, *fwds),
+        _jax.tree_util.tree_map(_stack, *bwds),
+    )

@@ -59,6 +59,7 @@ def fullbatch_fit(
     loss_fn=masked_nll_loss,
     chunk_epochs: int = 200,
     progress: bool = False,
+    train_ell=None,
 ) -> FitResult:
     """Scan runs in ``chunk_epochs``-sized device calls (one compilation, a
     short host loop) — bounding single-execution length keeps flaky
@@ -73,8 +74,14 @@ def fullbatch_fit(
     params = model.init(jax.random.key(seed), tg)
     opt_state = tx.init(params)
 
+    train_ell = (
+        None if train_ell is None
+        else jax.tree_util.tree_map(jnp.asarray, train_ell)
+    )
+
     def loss(params, g, key):
-        logp = model.apply(params, g, train=True, rngs={"dropout": key})
+        kw = {} if train_ell is None else {"ell_pair": train_ell}
+        logp = model.apply(params, g, train=True, rngs={"dropout": key}, **kw)
         return loss_fn(logp, g)
 
     chunk = min(chunk_epochs, epochs)
@@ -186,6 +193,7 @@ def minibatch_fit(
     loss_fn=masked_nll_loss,
     chunk_epochs: int = 100,
     progress: bool = False,
+    ells=None,
 ) -> FitResult:
     """Reference-faithful minibatch SGD (batch order reshuffled on device each
     epoch), chunked into bounded device calls like :func:`fullbatch_fit`."""
@@ -201,8 +209,11 @@ def minibatch_fit(
     params = model.init(jax.random.key(seed), example)
     opt_state = tx.init(params)
 
-    def loss(params, g, key):
-        logp = model.apply(params, g, train=True, rngs={"dropout": key})
+    ells = None if ells is None else jax.tree_util.tree_map(jnp.asarray, ells)
+
+    def loss(params, g, key, ell_i):
+        kw = {} if ell_i is None else {"ell_pair": ell_i}
+        logp = model.apply(params, g, train=True, rngs={"dropout": key}, **kw)
         return loss_fn(logp, g)
 
     chunk = min(chunk_epochs, epochs)
@@ -218,8 +229,12 @@ def minibatch_fit(
             def batch_step(c, i):
                 params, opt_state = c
                 g = jax.tree_util.tree_map(lambda a: a[i], sb)
+                ell_i = (
+                    None if ells is None
+                    else jax.tree_util.tree_map(lambda a: a[i], ells)
+                )
                 k = jax.random.fold_in(ek, i)
-                l, grads = jax.value_and_grad(loss)(params, g, k)
+                l, grads = jax.value_and_grad(loss)(params, g, k, ell_i)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), l
