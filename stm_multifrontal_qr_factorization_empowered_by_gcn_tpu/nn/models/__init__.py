@@ -1,4 +1,13 @@
-from .autoencoder import GAE, VGAE, inner_product_decode, kl_loss, recon_loss
+from .autoencoder import (
+    GAE,
+    VGAE,
+    ARGVADiscriminator,
+    argva_discriminator_loss,
+    argva_reg_loss,
+    inner_product_decode,
+    kl_loss,
+    recon_loss,
+)
 from .misc_models import (
     CorrectAndSmooth,
     DeepGraphInfomax,
@@ -12,6 +21,9 @@ from .node2vec import NeighborTable, Node2Vec, build_neighbor_table, random_walk
 
 __all__ = [
     "GAE",
+    "ARGVADiscriminator",
+    "argva_discriminator_loss",
+    "argva_reg_loss",
     "VGAE",
     "inner_product_decode",
     "kl_loss",

@@ -80,3 +80,36 @@ class VGAE(nn.Module):
         else:
             z = mu
         return z, mu, logstd
+
+
+class ARGVADiscriminator(nn.Module):
+    """MLP discriminator for adversarially-regularized (V)GAE — reference
+    ``autoencoder.py:ARGA/ARGVA``.  Trained to tell latent codes from prior
+    N(0, I) samples; the encoder's regularization loss flips the labels."""
+
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        h = nn.relu(nn.Dense(self.hidden)(z))
+        h = nn.relu(nn.Dense(self.hidden)(h))
+        return nn.Dense(1)(h)[..., 0]  # logits
+
+
+def argva_reg_loss(disc_apply, disc_params, z: jnp.ndarray) -> jnp.ndarray:
+    """Encoder side: make the discriminator call z 'real' (reference
+    ``ARGA.reg_loss``)."""
+    logits = disc_apply(disc_params, z)
+    return -jnp.mean(jax.nn.log_sigmoid(logits))
+
+
+def argva_discriminator_loss(
+    disc_apply, disc_params, z: jnp.ndarray, prior: jnp.ndarray
+) -> jnp.ndarray:
+    """Discriminator side: prior ↦ real, z ↦ fake (reference
+    ``ARGA.discriminator_loss``)."""
+    real = disc_apply(disc_params, prior)
+    fake = disc_apply(disc_params, jax.lax.stop_gradient(z))
+    return -jnp.mean(jax.nn.log_sigmoid(real)) - jnp.mean(
+        jax.nn.log_sigmoid(-fake)
+    )

@@ -175,3 +175,35 @@ def test_node2vec_walks_and_loss(rng):
     params = n2v.init(jax.random.key(0), jnp.arange(5))
     loss = n2v.apply(params, jax.random.key(1), table, jnp.arange(20), method=n2v.loss)
     assert np.isfinite(float(loss))
+
+
+def test_argva_losses(rng):
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.nn.models import (
+        ARGVADiscriminator,
+        argva_discriminator_loss,
+        argva_reg_loss,
+    )
+
+    disc = ARGVADiscriminator(hidden=16)
+    z = jnp.asarray(rng.normal(size=(20, 8)).astype(np.float32)) + 3.0
+    prior = jnp.asarray(rng.normal(size=(20, 8)).astype(np.float32))
+    params = disc.init(jax.random.key(0), z)
+    dl = argva_discriminator_loss(disc.apply, params, z, prior)
+    rl = argva_reg_loss(disc.apply, params, z)
+    assert np.isfinite(float(dl)) and np.isfinite(float(rl))
+    # training the discriminator must reduce its loss (z is shifted, separable)
+    import optax
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+    @jax.jit
+    def step(params, opt):
+        l, g = jax.value_and_grad(
+            lambda p: argva_discriminator_loss(disc.apply, p, z, prior)
+        )(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, l
+    l0 = None
+    for i in range(60):
+        params, opt, l = step(params, opt)
+        l0 = l0 if l0 is not None else float(l)
+    assert float(l) < l0 / 2
