@@ -1,3 +1,21 @@
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .scan_trainer import (
+    FitResult,
+    fullbatch_fit,
+    make_padded_batches,
+    minibatch_fit,
+    pad_dataset,
+)
 from .trainer import Trainer
 
-__all__ = ["Trainer"]
+__all__ = [
+    "Trainer",
+    "FitResult",
+    "fullbatch_fit",
+    "make_padded_batches",
+    "minibatch_fit",
+    "pad_dataset",
+    "latest_checkpoint",
+    "load_checkpoint",
+    "save_checkpoint",
+]
