@@ -17,6 +17,7 @@ from .misc_models import (
     dgi_loss,
 )
 from .gnn_explainer import ExplainerResult, explain as gnn_explain
+from .schnet import SchNet, radius_graph_padded
 from .node2vec import NeighborTable, Node2Vec, build_neighbor_table, random_walks
 
 __all__ = [
@@ -36,6 +37,8 @@ __all__ = [
     "dgi_loss",
     "ExplainerResult",
     "gnn_explain",
+    "SchNet",
+    "radius_graph_padded",
     "NeighborTable",
     "Node2Vec",
     "build_neighbor_table",
