@@ -46,7 +46,19 @@ def main():
 
     model = ReorderClassifier()
     trainer = Trainer(model)
-    trainer.restore(args.ckpt, example=next(iter(loader)))
+    example = next(iter(loader))
+    try:
+        trainer.restore(args.ckpt, example=example)
+    except Exception:
+        # scan-trainer checkpoints hold {"params": ...} only
+        import flax.serialization
+
+        trainer.init(example)
+        with open(args.ckpt, "rb") as f:
+            state = flax.serialization.from_bytes(
+                {"params": trainer.params}, f.read()
+            )
+        trainer.params = state["params"]
 
     apply = jax.jit(lambda p, g: model.apply(p, g, train=False))
 

@@ -308,3 +308,74 @@ class TargetIndegree:
             e = e[:, None] if e.ndim == 1 else e
             attr = np.concatenate([e, attr], axis=-1)
         return g.replace(edges=attr.astype(np.float32))
+
+
+class GDC:
+    """Graph Diffusion Convolution (reference ``transforms/gdc.py``):
+    replace the adjacency with a sparsified diffusion matrix.
+
+    diffusion: 'ppr' (personalized PageRank, closed form) or 'heat';
+    sparsification: per-node top-k or global threshold.
+    """
+
+    def __init__(
+        self,
+        alpha: float = 0.15,
+        t: float = 5.0,
+        method: str = "ppr",
+        sparsify: str = "topk",
+        k: int = 64,
+        eps: float = 1e-4,
+        self_loops: bool = True,
+    ):
+        self.alpha = alpha
+        self.t = t
+        self.method = method
+        self.sparsify = sparsify
+        self.k = k
+        self.eps = eps
+        self.self_loops = self_loops
+
+    def __call__(self, g: Graph) -> Graph:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        n = int(g.n_node.sum())
+        s, r = np.asarray(g.senders), np.asarray(g.receivers)
+        w = np.ones(len(s)) if g.edges is None else np.asarray(g.edges, np.float64).reshape(len(s))
+        a = sp.coo_matrix((w, (r, s)), shape=(n, n)).tocsr()
+        if self.self_loops:
+            a = a + sp.eye(n, format="csr")
+        deg = np.asarray(a.sum(axis=0)).ravel()
+        dinv = sp.diags(1.0 / np.maximum(deg, 1e-12))
+        trans = a @ dinv  # column-stochastic
+
+        if self.method == "ppr":
+            # S = α (I − (1−α) T)^{-1}
+            diff = self.alpha * spla.inv(
+                sp.csc_matrix(sp.eye(n) - (1 - self.alpha) * trans)
+            )
+            diff = sp.csr_matrix(diff)
+        elif self.method == "heat":
+            m = sp.csc_matrix(self.t * (trans - sp.eye(n)))
+            diff = sp.csr_matrix(spla.expm(m))
+        else:
+            raise ValueError(f"unknown diffusion {self.method!r}")
+
+        dense = np.asarray(diff.todense())
+        if self.sparsify == "topk":
+            k = min(self.k, n)
+            thresh_rows = -np.partition(-dense, k - 1, axis=0)[k - 1]
+            dense[dense < thresh_rows[None, :]] = 0
+        else:
+            dense[dense < self.eps] = 0
+        # column-normalize the sparsified matrix (reference GDC final step)
+        colsum = dense.sum(axis=0, keepdims=True)
+        dense = dense / np.maximum(colsum, 1e-12)
+        rr, ss = np.nonzero(dense)
+        return g.replace(
+            senders=ss.astype(np.int32),
+            receivers=rr.astype(np.int32),
+            edges=dense[rr, ss].astype(np.float32),
+            n_edge=np.asarray([len(rr)], np.int32),
+        )

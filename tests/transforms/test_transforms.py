@@ -90,3 +90,21 @@ def test_compose():
     g = t(_g())
     assert int(g.n_edge[0]) == 8
     np.testing.assert_allclose(np.asarray(g.nodes)[0].sum(), 1.0, rtol=1e-6)
+
+
+def test_gdc_ppr_and_heat():
+    pytest.importorskip("scipy")
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.transforms import GDC
+
+    g = _g()
+    for method in ("ppr", "heat"):
+        out = GDC(method=method, sparsify="threshold", eps=1e-3)(g)
+        w = np.asarray(out.edges)
+        assert (w > 0).all()
+        # column-stochastic after normalization
+        r = np.asarray(out.receivers)
+        s = np.asarray(out.senders)
+        sums = np.zeros(4)
+        np.add.at(sums, s, w)
+        present = np.bincount(s, minlength=4) > 0
+        np.testing.assert_allclose(sums[present], 1.0, rtol=1e-5)
