@@ -85,12 +85,16 @@ def main():
 
         graphs = [train_ds.get(i) for i in range(len(train_ds))]
         if args.extra_train_root:
-            extra = Classorder(
-                args.extra_train_root, 0, split_seed=args.split_seed,
-                matrices_dir=args.extra_matrices_dir,
-            )
-            graphs += [extra.get(i) for i in range(len(extra))]
-            print(f"augmented with {len(extra)} extra training graphs")
+            roots = args.extra_train_root.split(",")
+            mdirs = (args.extra_matrices_dir or "").split(",")
+            mdirs += [None] * (len(roots) - len(mdirs))
+            for root, mdir in zip(roots, mdirs):
+                extra = Classorder(
+                    root, 0, split_seed=args.split_seed,
+                    matrices_dir=mdir or None,
+                )
+                graphs += [extra.get(i) for i in range(len(extra))]
+                print(f"augmented with {len(extra)} graphs from {root}")
         vg = pad_dataset([val_ds.get(i) for i in range(len(val_ds))])
         t0 = time.time()
         if args.mode == "scan-full":
@@ -109,7 +113,7 @@ def main():
                 from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.ell import (
                     ell_pairs_for_batches,
                 )
-                ells = ell_pairs_for_batches(sb)
+                ells = ell_pairs_for_batches(sb, width=16)
                 print(f"ELL tables: {ells[0].senders.shape} per direction")
             print(f"devices: {jax.devices()}  batches: {sb.n_node.shape[0]} x "
                   f"({sb.nodes.shape[1]} nodes, {sb.senders.shape[1]} edges)")

@@ -37,7 +37,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 WINDOW = 128          # output rows per window (MXU-aligned)
-CHUNK = 512           # edges per chunk (sublane-aligned)
+CHUNK = 1024          # edges per chunk (int32 1-D XLA tile T(1024) alignment)
 
 
 def pallas_available() -> bool:
@@ -88,7 +88,7 @@ def segment_sum_sorted_pallas(
     ``num_nodes`` is rounded up to a multiple of 128 internally; the caller
     gets the first ``num_nodes`` rows.  ``max_chunks`` bounds the per-window
     chunk count (default: enough for the worst window; pass a static value
-    from the host when known, e.g. ceil(max_window_edges / 512) + 1).
+    from the host when known, e.g. ceil(max_window_edges / CHUNK) + 1).
     """
     e, f = msg.shape
     if e % CHUNK != 0:

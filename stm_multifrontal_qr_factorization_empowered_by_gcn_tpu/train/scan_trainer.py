@@ -219,8 +219,8 @@ def minibatch_fit(
     chunk = min(chunk_epochs, epochs)
 
     @jax.jit
-    def run(params, opt_state, best_params, best_acc, epoch0, key, sb, vg):
-        # sb/vg as ARGUMENTS, not closure constants — see fullbatch note
+    def run(params, opt_state, best_params, best_acc, epoch0, key, sb, vg, ells):
+        # sb/vg/ells as ARGUMENTS, not closure constants — see fullbatch note
         def epoch_step(carry, e):
             params, opt_state, best_params, best_acc = carry
             ek = jax.random.fold_in(key, e)
@@ -232,7 +232,7 @@ def minibatch_fit(
                 ell_i = (
                     None if ells is None
                     else jax.tree_util.tree_map(lambda a: a[i], ells)
-                )
+                )  # noqa: F821 — `ells` is the run() argument
                 k = jax.random.fold_in(ek, i)
                 l, grads = jax.value_and_grad(loss)(params, g, k, ell_i)
                 updates, opt_state = tx.update(grads, opt_state, params)
@@ -264,7 +264,7 @@ def minibatch_fit(
     all_losses, all_accs = [], []
     for e0 in range(0, epochs, chunk):
         params, opt_state, best_params, best_acc, losses, accs = run(
-            params, opt_state, best_params, best_acc, jnp.int32(e0), key, sb, vg
+            params, opt_state, best_params, best_acc, jnp.int32(e0), key, sb, vg, ells
         )
         all_losses.append(np.asarray(losses))
         all_accs.append(np.asarray(accs))

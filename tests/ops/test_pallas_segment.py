@@ -12,7 +12,7 @@ from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.pallas.segment i
 )
 
 
-@pytest.mark.parametrize("n,e,f", [(130, 1024, 8), (256, 2048, 16), (64, 512, 128)])
+@pytest.mark.parametrize("n,e,f", [(130, 1024, 8), (256, 2048, 16), (64, 1024, 128)])
 def test_segment_sum_sorted_interpret(rng, n, e, f):
     r = np.sort(rng.integers(0, n, e)).astype(np.int32)
     msg = rng.normal(size=(e, f)).astype(np.float32)
