@@ -194,9 +194,15 @@ def minibatch_fit(
     chunk_epochs: int = 100,
     progress: bool = False,
     ells=None,
+    strip_coo: bool = False,
 ) -> FitResult:
     """Reference-faithful minibatch SGD (batch order reshuffled on device each
-    epoch), chunked into bounded device calls like :func:`fullbatch_fit`."""
+    epoch), chunked into bounded device calls like :func:`fullbatch_fit`.
+
+    ``strip_coo=True`` (valid only with ``ells``) replaces the stacked COO
+    edge arrays with 1-slot dummies before transfer — the fused ELL path
+    never touches them, and for big corpora they are hundreds of MB of HBM.
+    """
     tx = (
         optax.adamw(learning_rate, weight_decay=weight_decay)
         if weight_decay else optax.adam(learning_rate)
@@ -209,6 +215,12 @@ def minibatch_fit(
     params = model.init(jax.random.key(seed), example)
     opt_state = tx.init(params)
 
+    if strip_coo:
+        if ells is None:
+            raise ValueError("strip_coo requires ells")
+        nb_ = stacked_batches.n_node.shape[0]
+        dummy = np.zeros((nb_, 1), np.int32)
+        stacked_batches = stacked_batches.replace(senders=dummy, receivers=dummy)
     ells = None if ells is None else jax.tree_util.tree_map(jnp.asarray, ells)
 
     def loss(params, g, key, ell_i):
