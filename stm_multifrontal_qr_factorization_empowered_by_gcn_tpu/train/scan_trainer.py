@@ -158,7 +158,11 @@ def make_padded_batches(
     """
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(graphs))
-    sizes = np.asarray([int(np.sum(graphs[i].n_node)) for i in order])
+    # balance the combined node+edge footprint so BOTH pad targets stay tight
+    sizes = np.asarray([
+        int(np.sum(graphs[i].n_node)) + int(np.sum(graphs[i].n_edge))
+        for i in order
+    ])
     order = order[np.argsort(-sizes, kind="stable")]
     nb = -(-len(graphs) // batch_size)
     members = [[] for _ in range(nb)]
