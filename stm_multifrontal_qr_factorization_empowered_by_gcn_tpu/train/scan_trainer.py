@@ -29,12 +29,23 @@ from ..data.graph import Graph
 from ..models.reorder_classifier import masked_accuracy, masked_nll_loss
 
 
+def flax_restore_opt(template, saved):
+    """Restore an optimizer-state pytree from a saved pytree of the same
+    structure (leaves only; tolerates numpy inputs)."""
+    flat_t, treedef = jax.tree_util.tree_flatten(template)
+    flat_s = jax.tree_util.tree_leaves(saved)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(s) for s in flat_s]
+    )
+
+
 class FitResult(NamedTuple):
     params: any
     best_params: any
     losses: np.ndarray        # [epochs]
     val_accuracy: np.ndarray  # [epochs]
     best_val_accuracy: float
+    opt_state: any = None     # populated by minibatch_fit for resume
 
 
 def pad_dataset(graphs: Sequence[Graph], *, node_multiple=1024, edge_multiple=4096) -> Graph:
@@ -199,6 +210,9 @@ def minibatch_fit(
     progress: bool = False,
     ells=None,
     strip_coo: bool = False,
+    init_params=None,
+    init_opt_state=None,
+    init_best=None,
 ) -> FitResult:
     """Reference-faithful minibatch SGD (batch order reshuffled on device each
     epoch), chunked into bounded device calls like :func:`fullbatch_fit`.
@@ -218,6 +232,10 @@ def minibatch_fit(
     example = jax.tree_util.tree_map(lambda a: a[0], sb)
     params = model.init(jax.random.key(seed), example)
     opt_state = tx.init(params)
+    if init_params is not None:
+        params = jax.tree_util.tree_map(jnp.asarray, init_params)
+    if init_opt_state is not None:
+        opt_state = flax_restore_opt(opt_state, init_opt_state)
 
     if strip_coo:
         if ells is None:
@@ -277,6 +295,9 @@ def minibatch_fit(
 
     key = jax.random.key(seed + 1)
     best_params, best_acc = params, jnp.float32(0)
+    if init_best is not None:
+        best_params = jax.tree_util.tree_map(jnp.asarray, init_best[0])
+        best_acc = jnp.float32(init_best[1])
     all_losses, all_accs = [], []
     for e0 in range(0, epochs, chunk):
         params, opt_state, best_params, best_acc, losses, accs = run(
@@ -297,4 +318,5 @@ def minibatch_fit(
         losses=np.concatenate(all_losses)[:epochs],
         val_accuracy=np.concatenate(all_accs)[:epochs],
         best_val_accuracy=float(best_acc),
+        opt_state=jax.device_get(opt_state),
     )
