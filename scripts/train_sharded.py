@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.3)
     ap.add_argument("--weight-decay", type=float, default=5e-5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--loss", default="nll", choices=["nll", "regret"])
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     args = ap.parse_args()
     if args.platform == "cpu":
@@ -50,6 +51,8 @@ def main():
     from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.datasets import Classorder
     from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.models import (
         ReorderClassifier,
+        fill_regret_loss,
+        masked_nll_loss,
     )
     from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.train import (
         load_checkpoint,
@@ -115,6 +118,7 @@ def main():
             res = minibatch_fit(
                 model, shards[si], vg,
                 epochs=args.epochs_per_visit,
+                loss_fn=fill_regret_loss if args.loss == "regret" else masked_nll_loss,
                 learning_rate=args.lr, weight_decay=args.weight_decay,
                 seed=args.seed + cycle * 100 + si,
                 init_params=params, init_opt_state=opt_state,

@@ -96,7 +96,8 @@ class Classorder(InMemoryDataset):
 
     @property
     def processed_file_names(self):
-        return [f"{s}_seed{self.split_seed}.npz" for s in SPLITS]
+        # v2: globals carry optional per-method fills in columns 10:14
+        return [f"{s}_seed{self.split_seed}_v2.npz" for s in SPLITS]
 
     def download(self):
         raise FileNotFoundError(
@@ -109,6 +110,12 @@ class Classorder(InMemoryDataset):
         ylab = np.loadtxt(self.raw_paths[1])
         labels = {int(r[0]): int(r[1]) for r in np.atleast_2d(ylab)}
         mtx_index = _index_matrices(self.matrices_dir)
+        # optional per-method fills (tools/compute_fills.py) -> globals[10:14]
+        fills_path = osp.join(self.raw_dir, "fills.txt")
+        fills = {}
+        if osp.exists(fills_path):
+            for r in np.atleast_2d(np.loadtxt(fills_path)):
+                fills[int(r[0])] = r[1:5]
 
         graphs: List[Graph] = []
         for row in ext:
@@ -119,6 +126,7 @@ class Classorder(InMemoryDataset):
                 gf = features_from_mtx(mtx_index[key])
             else:
                 gf = synthesize_features(stats, seed=gid)
+            stats = np.concatenate([stats, fills.get(gid, np.zeros(4))])
             graphs.append(_graph_from_features(gid, gf, stats, labels.get(gid)))
 
         # seeded split, same fractions as the reference (classorder.py:74-76)

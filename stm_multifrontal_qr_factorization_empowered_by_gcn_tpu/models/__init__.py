@@ -1,5 +1,6 @@
 from .reorder_classifier import (
     MLPBaseline,
+    fill_regret_loss,
     ReorderClassifier,
     masked_accuracy,
     masked_nll_loss,
@@ -16,6 +17,7 @@ __all__ = [
     "ReorderClassifier",
     "masked_accuracy",
     "masked_nll_loss",
+    "fill_regret_loss",
     "SageOrderNet",
     "order_mse_loss",
     "order_position_accuracy",
