@@ -125,4 +125,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the TPU tunnel in this image is flaky after worker crashes — retry a
+    # few times rather than losing the round's benchmark record
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            if attempt == 2:
+                raise
+            time.sleep(120)
