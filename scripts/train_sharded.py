@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--weight-decay", type=float, default=5e-5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--loss", default="nll", choices=["nll", "regret"])
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--readout", default="max", choices=["max", "meanmax"])
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     args = ap.parse_args()
     if args.platform == "cpu":
@@ -85,7 +87,9 @@ def main():
     print(f"{nb} batches of ({sb.nodes.shape[1]} nodes, {sb.senders.shape[1]} "
           f"edges) in {args.shards} shards of ~{per}")
 
-    model = ReorderClassifier(dropout_rate=args.dropout)
+    model = ReorderClassifier(
+        dropout_rate=args.dropout, hidden=args.hidden, readout=args.readout,
+    )
     os.makedirs(args.ckpt_dir, exist_ok=True)
     state_path = osp.join(args.ckpt_dir, "state.msgpack")
     meta_path = osp.join(args.ckpt_dir, "meta.json")

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..data.graph import Graph
 from ..nn.conv.graph_conv import GraphConv
-from ..nn.glob.glob import global_max_pool
+from ..nn.glob.glob import global_max_pool, global_mean_pool
 
 
 class ReorderClassifier(nn.Module):
@@ -31,6 +31,7 @@ class ReorderClassifier(nn.Module):
     num_global_features: int = 10
     dropout_rate: float = 0.2
     use_topk_pool: bool = False  # the (buggy) train-time variant, for parity
+    readout: str = "max"  # "max" (reference) or "meanmax" (richer)
     log_exinfo: bool = True
     """Apply log1p to the raw extinfo stats.  The reference feeds raw counts
     (n up to ~1e4, nnz up to ~6e4) straight into lin1 (graphclass.py:44-59),
@@ -56,7 +57,12 @@ class ReorderClassifier(nn.Module):
         x2 = nn.Dropout(self.dropout_rate, deterministic=not train)(x2)
 
         h = jnp.concatenate([x1, x2], axis=-1)
-        h = global_max_pool(h, g)  # [G_pad, 2·hidden]
+        if self.readout == "meanmax":
+            h = jnp.concatenate(
+                [global_max_pool(h, g), global_mean_pool(h, g)], axis=-1
+            )
+        else:
+            h = global_max_pool(h, g)  # [G_pad, 2·hidden]
 
         exinfo = g.globals[:, : self.num_global_features]
         if self.log_exinfo:
