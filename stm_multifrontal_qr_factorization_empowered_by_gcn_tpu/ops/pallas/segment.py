@@ -113,18 +113,19 @@ def segment_sum_sorted_pallas(
             # max_chunks explicitly to avoid the extra masked iterations
             max_chunks = int(np.ceil(e / CHUNK / max(num_windows, 1))) * 8 + 2
 
+    nblocks = e // CHUNK
+
+    def _blk(w, c, wptr):
+        # clamp: windows near the edge-array end would otherwise index past
+        # the last chunk (the kernel's base<end guard masks the stale data)
+        return jnp.minimum(wptr[w] // CHUNK + c, nblocks - 1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_windows, max_chunks),
         in_specs=[
-            pl.BlockSpec(
-                (CHUNK,),
-                lambda w, c, wptr: ((wptr[w] // CHUNK + c),),
-            ),
-            pl.BlockSpec(
-                (CHUNK, f),
-                lambda w, c, wptr: ((wptr[w] // CHUNK + c), 0),
-            ),
+            pl.BlockSpec((CHUNK,), lambda w, c, wptr: (_blk(w, c, wptr),)),
+            pl.BlockSpec((CHUNK, f), lambda w, c, wptr: (_blk(w, c, wptr), 0)),
         ],
         out_specs=pl.BlockSpec((WINDOW, f), lambda w, c, wptr: (w, 0)),
     )
