@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--matrices-dir", default="data/ClassorderGen/matrices")
     ap.add_argument("--split", type=int, default=1, help="0 train, 1 val, 2 test")
     ap.add_argument("--ckpt", default="models_ckpt/graphmodel_best.msgpack")
+    ap.add_argument("--readout", default="max", choices=["max", "meanmax"])
+    ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     args = ap.parse_args()
     if args.platform == "cpu":
@@ -53,7 +55,7 @@ def main():
     ds = Classorder(args.data_root, args.split, matrices_dir=args.matrices_dir)
     mtx_index = _index_matrices(args.matrices_dir)
 
-    model = ReorderClassifier()
+    model = ReorderClassifier(hidden=args.hidden, readout=args.readout)
     g0 = jax.tree_util.tree_map(jnp.asarray, pad_to_bucket(ds.get(0)))
     params = model.init(jax.random.key(0), g0)
     with open(args.ckpt, "rb") as f:
