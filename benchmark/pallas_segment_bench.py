@@ -1,4 +1,5 @@
-import time, numpy as np, sys
+import time, numpy as np, sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 t00=time.time()
 def log(m): print(f"[{time.time()-t00:6.1f}s] {m}", flush=True)
 import jax
