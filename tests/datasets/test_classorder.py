@@ -73,7 +73,7 @@ def test_globals_are_raw_extinfo(tiny_root):
     tr = Classorder(tiny_root, 0, split_seed=3)
     g = tr[0]
     glob = np.asarray(g.globals)
-    assert glob.shape == (1, 10)
+    assert glob.shape == (1, 14)  # 10 extinfo + 4 optional fills
     gid = int(np.asarray(g.nodes)[0, 0])
     ext = np.loadtxt(osp.join(tiny_root, "raw", "QR_extinfo.txt"))
-    np.testing.assert_allclose(glob[0], ext[gid, 1:], rtol=1e-6)
+    np.testing.assert_allclose(glob[0, :10], ext[gid, 1:], rtol=1e-6)
