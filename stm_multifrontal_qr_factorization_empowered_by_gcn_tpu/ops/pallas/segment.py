@@ -72,6 +72,9 @@ def _kernel(wptr_ref, r_ref, msg_ref, out_ref):
             msg_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # full fp32 accuracy: default MXU f32 path truncates operands to
+            # bf16 (measured 1e-2-relative error); HIGHEST = multi-pass bf16
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(out_ref.dtype)
 
 
