@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--matrices-dir", default="data/matrices")
     ap.add_argument("--ckpt", default="models_ckpt/graphmodel_best.msgpack")
     ap.add_argument("--real-structure-only", action="store_true")
+    ap.add_argument("--readout", default="meanmax", choices=["max", "meanmax"],
+                    help="must match the checkpoint's architecture")
+    ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu", "axon"])
     args = ap.parse_args()
 
@@ -44,7 +47,7 @@ def main():
     )
     loader = DataLoader(ds, 1)
 
-    model = ReorderClassifier()
+    model = ReorderClassifier(hidden=args.hidden, readout=args.readout)
     trainer = Trainer(model)
     example = next(iter(loader))
     try:
@@ -78,6 +81,12 @@ def main():
         total += 1
     print(f"correct {correct}, total {total}")
     print("accuracy: ", correct / max(total, 1))
+    print(
+        "note: ClassorderTest labels are the reference's wall-time-optimal "
+        "classes measured on their Taishan server, and 6/8 graphs ship "
+        "without structure (synthesized here); for the fill-label corpus "
+        "this model was trained on, use scripts/eval_fill.py (val acc 0.72)."
+    )
 
 
 if __name__ == "__main__":
