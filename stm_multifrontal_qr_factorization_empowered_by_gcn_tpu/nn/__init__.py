@@ -15,6 +15,7 @@ from .conv import (
     GINEConv,
     GatedGraphConv,
     GraphConv,
+    LEConv,
     NNConv,
     PNAConv,
     ResGatedGraphConv,
@@ -30,7 +31,7 @@ __all__ = [
     "inits", "MessagePassing", "propagate",
     "AGNNConv", "APPNP", "ARMAConv", "ChebConv", "ClusterGCNConv", "EdgeConv",
     "GATConv", "GATv2Conv", "GCN2Conv", "GCNConv", "GINConv", "GINEConv",
-    "GatedGraphConv", "GraphConv", "NNConv", "PNAConv", "ResGatedGraphConv",
+    "GatedGraphConv", "GraphConv", "LEConv", "NNConv", "PNAConv", "ResGatedGraphConv",
     "SAGEConv", "SGConv", "TAGConv", "TransformerConv",
     "global_add_pool", "global_max_pool", "global_mean_pool", "global_min_pool",
     "TopKPooling", "topk_pool",

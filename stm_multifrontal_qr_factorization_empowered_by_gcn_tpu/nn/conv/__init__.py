@@ -7,7 +7,7 @@ from .gcn_conv import GCNConv
 from .gin_conv import GINConv, GINEConv
 from .graph_conv import GraphConv
 from .sage_conv import SAGEConv
-from .sg_appnp_tag import APPNP, ClusterGCNConv, SGConv, TAGConv
+from .sg_appnp_tag import APPNP, ClusterGCNConv, LEConv, SGConv, TAGConv
 
 __all__ = [
     "AGNNConv",
@@ -24,6 +24,7 @@ __all__ = [
     "GINEConv",
     "GatedGraphConv",
     "GraphConv",
+    "LEConv",
     "NNConv",
     "PNAConv",
     "ResGatedGraphConv",

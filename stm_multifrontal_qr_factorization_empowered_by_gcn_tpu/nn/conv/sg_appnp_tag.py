@@ -200,3 +200,47 @@ class ClusterGCNConv(MessagePassing):
                 "bias", linear_bias(self.in_channels), (self.out_channels,)
             )
         return out
+
+
+class LEConv(MessagePassing):
+    """Local-extremum conv (reference ``le_conv.py``; the scoring layer of
+    ASAPooling): x'_i = Θ1 x_i + Σ_j w_ij (Θ2 x_i − Θ3 x_j)."""
+
+    in_channels: int
+    out_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        graph_or_senders,
+        receivers=None,
+        *,
+        num_nodes=None,
+        edge_weight=None,
+        edge_mask=None,
+    ) -> jnp.ndarray:
+        from ..message_passing import propagate
+
+        _, senders, receivers, num_nodes, edge_mask, _ = resolve_graph_args(
+            x, graph_or_senders, receivers, num_nodes, edge_mask
+        )
+        a = x @ self.param("lin1", kaiming_uniform(), (self.in_channels, self.out_channels))
+        b = x @ self.param("lin2", kaiming_uniform(), (self.in_channels, self.out_channels))
+
+        def message(x_j, x_i, e, w):
+            # x_j carries b rows; x_i carries a rows
+            d = x_i - x_j
+            return d if w is None else d * w[:, None]
+
+        out = propagate(
+            (b, a), senders, receivers, num_nodes,
+            message_fn=message, edge_weight=edge_weight,
+            edge_mask=edge_mask, aggr="add",
+        )
+        w3 = self.param("lin3", kaiming_uniform(), (self.in_channels, self.out_channels))
+        out = out + x @ w3
+        if self.use_bias:
+            out = out + self.param("bias", linear_bias(self.in_channels), (self.out_channels,))
+        return out
