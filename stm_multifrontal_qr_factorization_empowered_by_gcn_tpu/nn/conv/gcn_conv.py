@@ -45,6 +45,8 @@ class GCNConv(MessagePassing):
         edge_weight: Optional[jnp.ndarray] = None,
         edge_mask: Optional[jnp.ndarray] = None,
         precomputed_norm: Optional[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = None,
+        plan=None,
+        plan_self_norm: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         if isinstance(graph_or_senders, Graph):
             g = graph_or_senders
@@ -57,6 +59,17 @@ class GCNConv(MessagePassing):
 
         w = self.param("weight", glorot(), (self.in_channels, self.out_channels))
         x = x @ w
+
+        if plan is not None:
+            # structure-analyzed fast path (ops/plan.build_gcn_plan): the
+            # normalization is baked into the plan weights, the analytic
+            # self-loop term arrives as plan_self_norm
+            out = plan.apply(x)
+            if plan_self_norm is not None:
+                out = out + plan_self_norm[:, None] * x
+            if self.use_bias:
+                out = out + self.param("bias", zeros(), (self.out_channels,))
+            return out
 
         self_norm = None
         if self.normalize:

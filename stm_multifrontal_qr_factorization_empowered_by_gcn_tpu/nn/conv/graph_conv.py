@@ -36,6 +36,7 @@ class GraphConv(MessagePassing):
         edge_weight: Optional[jnp.ndarray] = None,
         edge_mask: Optional[jnp.ndarray] = None,
         ell_pair=None,
+        plan=None,
     ) -> jnp.ndarray:
         if isinstance(graph_or_senders, Graph):
             g = graph_or_senders
@@ -55,7 +56,11 @@ class GraphConv(MessagePassing):
             else (self.in_channels, self.in_channels)
         )
 
-        if ell_pair is not None and self.aggr in ("add", "sum") and edge_weight is None:
+        if plan is not None and self.aggr in ("add", "sum") and edge_weight is None:
+            # structure-analyzed fast path (ops/plan.py): BSR MXU blocks +
+            # tight-ELL residual, weights baked at build time
+            out = plan.apply(x_pair[0])
+        elif ell_pair is not None and self.aggr in ("add", "sum") and edge_weight is None:
             # scatter-free fast path: precomputed (fwd, transpose) ELL tables
             # (ops/ell.py); the transpose drives the backward SpMM
             from ...ops.ell import spmm_ell

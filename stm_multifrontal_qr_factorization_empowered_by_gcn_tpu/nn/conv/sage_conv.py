@@ -35,6 +35,7 @@ class SAGEConv(MessagePassing):
         *,
         num_nodes: Optional[int] = None,
         edge_mask: Optional[jnp.ndarray] = None,
+        plan=None,
     ) -> jnp.ndarray:
         if isinstance(graph_or_senders, Graph):
             g = graph_or_senders
@@ -54,15 +55,20 @@ class SAGEConv(MessagePassing):
             else (self.in_channels, self.in_channels)
         )
 
-        out = propagate(
-            x_pair,
-            senders,
-            receivers,
-            num_nodes,
-            edge_mask=edge_mask,
-            aggr=self.aggr,
-            indices_are_sorted=self.indices_are_sorted,
-        )
+        if plan is not None:
+            # fast path (ops/plan.py); for the default mean aggregation build
+            # with build_mean_plan so 1/deg is baked into the weights
+            out = plan.apply(x_pair[0])
+        else:
+            out = propagate(
+                x_pair,
+                senders,
+                receivers,
+                num_nodes,
+                edge_mask=edge_mask,
+                aggr=self.aggr,
+                indices_are_sorted=self.indices_are_sorted,
+            )
         w_l = self.param("lin_l_weight", kaiming_uniform(), (in_src, self.out_channels))
         out = out @ w_l
         if self.use_bias:

@@ -7,7 +7,15 @@ from .ell import (
     spmm_ell_mean,
     spmm_ell_sum,
 )
+from .bsr import BsrMatrix, bsr_from_coo, bsr_matmul, bsr_transpose_coo, spmm_bsr
 from .norm import gcn_norm
+from .plan import (
+    SpmmPlan,
+    build_gcn_plan,
+    build_mean_plan,
+    build_spmm_plan,
+    gcn_norm_np,
+)
 from .sddmm import attention_coefficients, sddmm
 from .segment import (
     aggregate,
@@ -25,6 +33,9 @@ from .spmm import adjacency_dense, best_spmm, spmm_coo, spmm_dense
 __all__ = [
     "EllGraph", "ell_from_coo", "ell_pair_from_coo",
     "spmm_ell", "spmm_ell_max", "spmm_ell_mean", "spmm_ell_sum",
+    "BsrMatrix", "bsr_from_coo", "bsr_matmul", "bsr_transpose_coo", "spmm_bsr",
+    "SpmmPlan", "build_spmm_plan", "build_gcn_plan", "build_mean_plan",
+    "gcn_norm_np",
     "gcn_norm", "attention_coefficients", "sddmm",
     "segment_sum", "segment_mean", "segment_max", "segment_min",
     "segment_softmax", "segment_count", "aggregate",

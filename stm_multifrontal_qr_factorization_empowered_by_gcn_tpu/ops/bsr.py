@@ -1,0 +1,223 @@
+"""Block-sparse-row (BSR) SpMM — the locality-exploiting MXU fast path.
+
+The reference's hot aggregation is an edge-at-a-time gather + scatter
+(``torch_geometric/nn/conv/message_passing.py:124-300``).  On TPU the random
+row gather is *transaction*-limited (measured ~525M rows/s on a v5e no matter
+the row width or index order — see ``benchmark/microbench_tpu.py``), so any
+per-edge formulation caps out near 500M edges/s.  Matrix-structure graphs —
+this framework's domain (sparse-matrix nonzero patterns, SURVEY.md §0) —
+have locality: after an RCM/ND relabel (``utils/rcm.py``) most edges fall in
+a narrow band of 128x128 blocks.  BSR densifies those blocks and turns the
+whole aggregation into a short chain of MXU block matmuls:
+
+    out[brow] = sum_j blocks[ptr[brow]+j] @ x[bcol[ptr[brow]+j]]
+
+No gather, no scatter; per-128-row-window cost is ``nblocks_in_row`` fused
+(128,128)@(128,F) matmuls streaming at HBM speed.  The Pallas kernel
+(``ops/pallas/bsr_kernel.py``) keeps the output window resident in VMEM
+across the block loop via revisited grid steps and reads block-column ids
+through scalar prefetch.
+
+Blocks with too few edges would waste bandwidth (a dense 128x128 bf16 block
+is 32 KB ~ the traffic of ~64 gathered edges), so :func:`bsr_from_coo`
+supports a hybrid split: blocks holding >= ``min_edges_per_block`` edges go
+to BSR, the long tail stays COO for the gather path (``ops/ell.py``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 128
+
+
+class BsrMatrix(NamedTuple):
+    """128x128-blocked sparse matrix (rows = receivers, cols = senders).
+
+    * ``blocks`` — ``[nnzb, 128, 128]`` dense block values (``blocks[k][r, c]``
+      is the edge weight receiver ``brow_k*128+r`` <- sender ``bcol[k]*128+c``).
+    * ``bcol``   — ``[nnzb]`` int32 block-column index per block.
+    * ``ptr``    — ``[nbrow+1]`` int32 block-row pointers (CSR over blocks).
+    * ``num_rows`` / ``num_cols`` — static unpadded node counts.
+    """
+
+    blocks: jnp.ndarray
+    bcol: jnp.ndarray
+    ptr: jnp.ndarray
+    num_rows: int
+    num_cols: int
+
+    @property
+    def nnzb(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def nbrow(self) -> int:
+        return self.ptr.shape[0] - 1
+
+    @property
+    def max_blocks_per_row(self) -> int:
+        # static helper for the kernel grid; ptr is concrete post-build
+        p = np.asarray(self.ptr)
+        return int(max((p[1:] - p[:-1]).max(initial=0), 1))
+
+
+def _bsr_flatten(m: BsrMatrix):
+    return (m.blocks, m.bcol, m.ptr), (m.num_rows, m.num_cols)
+
+
+def _bsr_unflatten(aux, children):
+    return BsrMatrix(*children, num_rows=aux[0], num_cols=aux[1])
+
+
+jax.tree_util.register_pytree_node(BsrMatrix, _bsr_flatten, _bsr_unflatten)
+
+
+def bsr_from_coo(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    edge_weight: Optional[np.ndarray] = None,
+    min_edges_per_block: int = 1,
+    dtype=np.float32,
+) -> Tuple[BsrMatrix, np.ndarray]:
+    """Host-side COO -> (BSR, leftover-edge-mask) conversion.
+
+    Returns the BSR matrix over blocks with at least ``min_edges_per_block``
+    edges, plus a boolean mask over the input edges marking the *leftovers*
+    (edges in sparser blocks) for a hybrid gather-path residual.
+    """
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    e = senders.shape[0]
+    w = (
+        np.ones(e, np.float32)
+        if edge_weight is None
+        else np.asarray(edge_weight, np.float32)
+    )
+
+    nbrow = max(-(-num_nodes // BLOCK), 1)
+    nbcol = nbrow
+    brow, bcol = receivers // BLOCK, senders // BLOCK
+    bid = brow * nbcol + bcol
+
+    uniq, inv, counts = np.unique(bid, return_inverse=True, return_counts=True)
+    keep_block = counts >= min_edges_per_block
+    leftover_mask = ~keep_block[inv]
+
+    kept_ids = uniq[keep_block]
+    nnzb = max(len(kept_ids), 1)
+    # block index within the kept set, -1 for leftovers
+    kpos = np.full(len(uniq), -1, np.int64)
+    kpos[keep_block] = np.arange(len(kept_ids))
+    epos = kpos[inv]
+
+    blocks = np.zeros((nnzb, BLOCK, BLOCK), dtype)
+    sel = epos >= 0
+    np.add.at(
+        blocks,
+        (epos[sel], receivers[sel] % BLOCK, senders[sel] % BLOCK),
+        w[sel].astype(dtype),
+    )
+
+    kept_brow = (kept_ids // nbcol).astype(np.int64)
+    kept_bcol = (kept_ids % nbcol).astype(np.int32)
+    ptr = np.zeros(nbrow + 1, np.int64)
+    np.add.at(ptr, kept_brow + 1, 1)
+    ptr = np.cumsum(ptr)  # kept_ids are sorted, so blocks are brow-grouped
+
+    return (
+        BsrMatrix(
+            blocks=jnp.asarray(blocks),
+            bcol=jnp.asarray(kept_bcol),
+            ptr=jnp.asarray(ptr.astype(np.int32)),
+            num_rows=num_nodes,
+            num_cols=num_nodes,
+        ),
+        leftover_mask,
+    )
+
+
+def bsr_transpose_coo(
+    senders: np.ndarray, receivers: np.ndarray, num_nodes: int, **kw
+) -> Tuple[BsrMatrix, np.ndarray]:
+    """BSR of the transposed graph (drives the backward SpMM)."""
+    return bsr_from_coo(receivers, senders, num_nodes, **kw)
+
+
+# ---------------------------------------------------------------------------
+# matmul
+# ---------------------------------------------------------------------------
+
+def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    pad = rows - x.shape[0]
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad > 0 else x
+
+
+def bsr_matmul_xla(m: BsrMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """Reference/CPU path: gather x blocks, batched matmul, segment-sum over
+    block-rows.  Mathematically identical to the Pallas kernel."""
+    nbrow = m.nbrow
+    xp = _pad_rows(x, nbrow * BLOCK).reshape(nbrow, BLOCK, x.shape[1])
+    xb = xp[m.bcol]  # [nnzb, 128, F]
+    prod = jnp.einsum(
+        "kij,kjf->kif", m.blocks.astype(x.dtype), xb,
+        preferred_element_type=jnp.float32,
+    )
+    brow = (
+        jnp.sum(
+            jnp.arange(m.nnzb)[:, None] >= m.ptr[None, 1:], axis=1
+        ).astype(jnp.int32)
+    )
+    out = jax.ops.segment_sum(prod, brow, num_segments=nbrow)
+    return out.reshape(nbrow * BLOCK, x.shape[1])[: m.num_rows].astype(x.dtype)
+
+
+def bsr_matmul(m: BsrMatrix, x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """out[r] = sum_c A[r,c] x[c] over the blocked structure; dispatches to
+    the Pallas MXU kernel on TPU, XLA fallback elsewhere."""
+    from .pallas.bsr_kernel import bsr_available, bsr_matmul_pallas
+
+    if bsr_available() or interpret:
+        return bsr_matmul_pallas(m, x, interpret=interpret)
+    return bsr_matmul_xla(m, x)
+
+
+@jax.custom_vjp
+def spmm_bsr(x: jnp.ndarray, m_fwd: BsrMatrix, m_bwd: BsrMatrix) -> jnp.ndarray:
+    """Differentiable BSR SpMM; ``m_bwd`` must be the transpose structure
+    (:func:`bsr_transpose_coo`) and is only touched in the backward pass."""
+    return bsr_matmul(m_fwd, x)
+
+
+def _spmm_bsr_fwd(x, m_fwd, m_bwd):
+    return bsr_matmul(m_fwd, x), (m_fwd, m_bwd)
+
+
+def _spmm_bsr_bwd(res, g):
+    m_fwd, m_bwd = res
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, (m_fwd, m_bwd))
+    return (bsr_matmul(m_bwd, g), *zeros)
+
+
+spmm_bsr.defvjp(_spmm_bsr_fwd, _spmm_bsr_bwd)
+
+
+def block_fill_stats(senders, receivers, num_nodes) -> dict:
+    """Edges-per-occupied-block stats — drives the BSR-vs-gather dispatch."""
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    nbcol = max(-(-num_nodes // BLOCK), 1)
+    bid = (receivers // BLOCK) * nbcol + senders // BLOCK
+    _, counts = np.unique(bid, return_counts=True)
+    if len(counts) == 0:
+        return {"nnzb": 0, "mean_edges_per_block": 0.0, "median": 0.0}
+    return {
+        "nnzb": int(len(counts)),
+        "mean_edges_per_block": float(counts.mean()),
+        "median": float(np.median(counts)),
+    }

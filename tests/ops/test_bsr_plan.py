@@ -1,0 +1,220 @@
+"""BSR SpMM + plan dispatch tests (reference hot-path analog:
+``torch_geometric/nn/conv/message_passing.py:219-256`` fused dispatch)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.bsr import (
+    bsr_from_coo,
+    bsr_matmul_xla,
+    bsr_transpose_coo,
+    spmm_bsr,
+)
+from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.pallas.bsr_kernel import (
+    bsr_matmul_pallas,
+)
+from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.plan import (
+    build_gcn_plan,
+    build_mean_plan,
+    build_spmm_plan,
+    pick_ell_width,
+)
+from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.utils.rcm import (
+    bandwidth,
+    rcm_order,
+    relabel_coo,
+)
+
+
+def _random_graph(n, e, seed=0, weighted=True):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    w = rng.normal(size=e).astype(np.float32) if weighted else None
+    return s, r, w
+
+
+def _dense(s, r, w, n):
+    A = np.zeros((n, n), np.float32)
+    np.add.at(A, (r, s), np.ones(len(s), np.float32) if w is None else w)
+    return A
+
+
+class TestBsr:
+    def test_matches_dense(self):
+        n, e, f = 300, 2500, 32
+        s, r, w = _random_graph(n, e)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(n, f)).astype(np.float32))
+        ref = _dense(s, r, w, n) @ np.asarray(x)
+        m, leftover = bsr_from_coo(s, r, n, edge_weight=w)
+        assert not leftover.any()
+        np.testing.assert_allclose(bsr_matmul_xla(m, x), ref, atol=1e-4)
+        np.testing.assert_allclose(
+            bsr_matmul_pallas(m, x, interpret=True), ref, atol=1e-4
+        )
+
+    def test_hybrid_split_partitions_edges(self):
+        n, e = 300, 2000
+        s, r, w = _random_graph(n, e, seed=2)
+        m, leftover = bsr_from_coo(s, r, n, edge_weight=w, min_edges_per_block=5)
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(n, 16)).astype(np.float32))
+        kept = ~leftover
+        ref = _dense(s[kept], r[kept], w[kept], n) @ np.asarray(x)
+        np.testing.assert_allclose(bsr_matmul_xla(m, x), ref, atol=1e-4)
+
+    def test_grad_is_transpose_spmm(self):
+        n, e, f = 200, 1500, 8
+        s, r, w = _random_graph(n, e, seed=4)
+        m, _ = bsr_from_coo(s, r, n, edge_weight=w)
+        mT, _ = bsr_transpose_coo(s, r, n, edge_weight=w)
+        x = jnp.asarray(np.random.default_rng(5).normal(size=(n, f)).astype(np.float32))
+        A = _dense(s, r, w, n)
+        g = jax.grad(lambda x: jnp.sum(spmm_bsr(x, m, mT) ** 2))(x)
+        ref = 2 * A.T @ (A @ np.asarray(x))
+        np.testing.assert_allclose(g, ref, atol=1e-3)
+
+    def test_empty_block_rows(self):
+        # nodes 128..255 receive nothing -> whole block-row empty
+        n = 256
+        s = np.arange(100, dtype=np.int32)
+        r = (np.arange(100, dtype=np.int32) * 7) % 128
+        m, _ = bsr_from_coo(s, r, n)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32))
+        out = bsr_matmul_pallas(m, x, interpret=True)
+        ref = _dense(s, r, None, n) @ np.asarray(x)
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+        assert np.all(np.asarray(out[128:]) == 0)
+
+
+class TestRcm:
+    def test_reduces_bandwidth_on_shuffled_band(self):
+        rng = np.random.default_rng(0)
+        n = 400
+        base_s, base_r = [], []
+        for i in range(n):
+            for d in (-2, -1, 1, 2):
+                j = i + d
+                if 0 <= j < n:
+                    base_s.append(i)
+                    base_r.append(j)
+        perm = rng.permutation(n)
+        s, r = perm[np.array(base_s)], perm[np.array(base_r)]
+        assert bandwidth(s, r) > 50
+        s2, r2, order = relabel_coo(s, r, n)
+        assert bandwidth(s2, r2) <= 8
+
+    def test_permutation_valid(self):
+        s, r, _ = _random_graph(100, 300, seed=6)
+        order = rcm_order(s, r, 100)
+        assert sorted(order.tolist()) == list(range(100))
+
+    def test_relabeled_spmm_equivalence(self):
+        n, e, f = 150, 800, 8
+        s, r, w = _random_graph(n, e, seed=7)
+        x = np.random.default_rng(8).normal(size=(n, f)).astype(np.float32)
+        ref = _dense(s, r, w, n) @ x
+        s2, r2, order = relabel_coo(s, r, n)
+        rank = np.argsort(order)
+        plan = build_spmm_plan(s2, r2, n, edge_weight=w)
+        out_new = plan.apply(jnp.asarray(x[order]))
+        np.testing.assert_allclose(np.asarray(out_new)[rank], ref, atol=1e-3)
+
+
+class TestPlan:
+    @pytest.mark.parametrize("force", ["bsr", "ell", "hybrid"])
+    def test_methods_agree(self, force):
+        n, e, f = 300, 3000, 16
+        s, r, w = _random_graph(n, e, seed=9)
+        x = jnp.asarray(np.random.default_rng(10).normal(size=(n, f)).astype(np.float32))
+        ref = _dense(s, r, w, n) @ np.asarray(x)
+        plan = build_spmm_plan(s, r, n, edge_weight=w, force=force, bsr_min_edges=8)
+        np.testing.assert_allclose(plan.apply(x), ref, atol=1e-3)
+
+    def test_auto_selects_bsr_for_banded(self):
+        n = 512
+        i = np.repeat(np.arange(n), 8)
+        j = (i + np.tile(np.arange(-4, 4), n)) % n
+        plan = build_spmm_plan(i.astype(np.int32), j.astype(np.int32), n)
+        assert plan.method in ("bsr", "hybrid")
+
+    def test_auto_selects_ell_for_sparse_random(self):
+        n, e = 4096, 8192
+        s, r, _ = _random_graph(n, e, seed=11, weighted=False)
+        plan = build_spmm_plan(s, r, n)
+        assert plan.method == "ell"
+
+    def test_pick_ell_width_tracks_degree(self):
+        r_small = np.repeat(np.arange(100), 3)
+        assert pick_ell_width(r_small, 100) <= 8
+        r_big = np.repeat(np.arange(10), 60)
+        assert pick_ell_width(r_big, 10) >= 16
+
+    def test_plan_grad(self):
+        n, e, f = 200, 1200, 8
+        s, r, w = _random_graph(n, e, seed=12)
+        A = _dense(s, r, w, n)
+        x = jnp.asarray(np.random.default_rng(13).normal(size=(n, f)).astype(np.float32))
+        for force in ("bsr", "ell"):
+            plan = build_spmm_plan(s, r, n, edge_weight=w, force=force)
+            g = jax.grad(lambda x: jnp.sum(plan.apply(x) ** 2))(x)
+            ref = 2 * A.T @ (A @ np.asarray(x))
+            np.testing.assert_allclose(g, ref, atol=1e-3)
+
+
+class TestLayerPlans:
+    def _graph(self, n=90, e=400, f=6, seed=14):
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.data.graph import Graph
+
+        s, r, _ = _random_graph(n, e, seed=seed, weighted=False)
+        x = np.random.default_rng(seed + 1).normal(size=(n, f)).astype(np.float32)
+        g = Graph(
+            nodes=jnp.asarray(x),
+            senders=jnp.asarray(s),
+            receivers=jnp.asarray(r),
+            n_node=jnp.asarray([n], np.int32),
+            n_edge=jnp.asarray([e], np.int32),
+        )
+        return g, s, r, x
+
+    def test_graph_conv_plan_equivalence(self):
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.nn.conv.graph_conv import (
+            GraphConv,
+        )
+
+        g, s, r, x = self._graph()
+        layer = GraphConv(6, 12)
+        params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), g)
+        ref = layer.apply(params, jnp.asarray(x), g)
+        plan = build_spmm_plan(s, r, g.num_nodes)
+        out = layer.apply(params, jnp.asarray(x), g, plan=plan)
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_gcn_conv_plan_equivalence(self):
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.nn.conv.gcn_conv import (
+            GCNConv,
+        )
+
+        g, s, r, x = self._graph(seed=20)
+        layer = GCNConv(6, 12)
+        params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), g)
+        ref = layer.apply(params, jnp.asarray(x), g)
+        plan, self_norm = build_gcn_plan(s, r, g.num_nodes)
+        out = layer.apply(
+            params, jnp.asarray(x), g, plan=plan, plan_self_norm=self_norm
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_sage_conv_plan_equivalence(self):
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.nn.conv.sage_conv import (
+            SAGEConv,
+        )
+
+        g, s, r, x = self._graph(seed=30)
+        layer = SAGEConv(6, 12)
+        params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), g)
+        ref = layer.apply(params, jnp.asarray(x), g)
+        plan = build_mean_plan(s, r, g.num_nodes)
+        out = layer.apply(params, jnp.asarray(x), g, plan=plan)
+        np.testing.assert_allclose(out, ref, atol=1e-4)
