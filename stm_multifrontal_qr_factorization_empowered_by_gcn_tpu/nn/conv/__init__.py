@@ -4,12 +4,33 @@ from .edge_conv import EdgeConv, GatedGraphConv, NNConv, ResGatedGraphConv
 from .gat_conv import GATConv, GATv2Conv
 from .gcn2_arma_transformer import ARMAConv, GCN2Conv, TransformerConv
 from .gcn_conv import GCNConv
+from .geometric import (
+    FeaStConv,
+    GMMConv,
+    GravNetConv,
+    PointConv,
+    PointNetConv,
+    SplineConv,
+    XConv,
+)
 from .gin_conv import GINConv, GINEConv
 from .graph_conv import GraphConv
+from .relational import DNAConv, FiLMConv, HypergraphConv, SignedConv
 from .sage_conv import SAGEConv
 from .sg_appnp_tag import APPNP, ClusterGCNConv, LEConv, SGConv, TAGConv
 
 __all__ = [
+    "XConv",
+    "SplineConv",
+    "SignedConv",
+    "PointNetConv",
+    "PointConv",
+    "HypergraphConv",
+    "GravNetConv",
+    "GMMConv",
+    "FiLMConv",
+    "FeaStConv",
+    "DNAConv",
     "AGNNConv",
     "APPNP",
     "ARMAConv",

@@ -32,6 +32,15 @@ def uniform(size: int):
     return init
 
 
+def normal(std: float = 1.0, mean: float = 0.0):
+    """N(mean, std) (reference ``inits.normal``, used by FeaStConv)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return mean + std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
 def kaiming_uniform(a: float = math.sqrt(5.0)):
     """torch.nn.Linear's default weight init (kaiming uniform, fan_in)."""
 

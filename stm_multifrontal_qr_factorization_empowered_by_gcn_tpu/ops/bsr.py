@@ -49,6 +49,7 @@ class BsrMatrix(NamedTuple):
     ptr: jnp.ndarray
     num_rows: int
     num_cols: int
+    max_j: int = 1  # static max blocks per block-row (kernel grid bound)
 
     @property
     def nnzb(self) -> int:
@@ -60,17 +61,17 @@ class BsrMatrix(NamedTuple):
 
     @property
     def max_blocks_per_row(self) -> int:
-        # static helper for the kernel grid; ptr is concrete post-build
-        p = np.asarray(self.ptr)
-        return int(max((p[1:] - p[:-1]).max(initial=0), 1))
+        # static (aux) so the kernel grid stays concrete when the matrix is
+        # traced through custom_vjp / scan boundaries
+        return self.max_j
 
 
 def _bsr_flatten(m: BsrMatrix):
-    return (m.blocks, m.bcol, m.ptr), (m.num_rows, m.num_cols)
+    return (m.blocks, m.bcol, m.ptr), (m.num_rows, m.num_cols, m.max_j)
 
 
 def _bsr_unflatten(aux, children):
-    return BsrMatrix(*children, num_rows=aux[0], num_cols=aux[1])
+    return BsrMatrix(*children, num_rows=aux[0], num_cols=aux[1], max_j=aux[2])
 
 
 jax.tree_util.register_pytree_node(BsrMatrix, _bsr_flatten, _bsr_unflatten)
@@ -137,6 +138,7 @@ def bsr_from_coo(
             ptr=jnp.asarray(ptr.astype(np.int32)),
             num_rows=num_nodes,
             num_cols=num_nodes,
+            max_j=int(max((ptr[1:] - ptr[:-1]).max(initial=0), 1)),
         ),
         leftover_mask,
     )

@@ -8,17 +8,24 @@ eliminates the scatter entirely:
 
 * Every node's incoming-edge list is padded to a fixed width ``D`` (ELLPACK);
   rows with degree > D are *split* into several virtual rows.
-* Aggregation becomes ``einsum('vd,vdf->vf', w, x[idx])`` — a fused XLA
-  gather + reduction with **no scatter** — plus (only when splits exist) a
-  tiny combine over ~N virtual rows.
+* Aggregation becomes ``width`` unrolled 1-D row gathers accumulated
+  elementwise (see :func:`_ell_gather_sum` for why not a single 2-D
+  gather+einsum) — **no scatter** — plus (only when splits exist) a tiny
+  combine over ~N virtual rows.
 * The backward pass never materializes scatter either: ``d/dx`` of an SpMM is
   the SpMM with the *transposed* graph, so the builder prepares both
   directions and a ``jax.custom_vjp`` routes gradients through the reverse
   ELL (the analog of the reference caching ``adj_t``,
   ``torch_geometric/data/sampler.py:57-63``).
 
-Measured on TPU v5e (N=131k, E=4.2M, F=128, fp32): COO+segment_sum 63 ms
-→ ELL (D=64) 7.7 ms; the padded gather streams at ~68 % of HBM bandwidth.
+Measured on TPU v5e (N=131k, E=4.2M uniform-random, F=128, fp32):
+COO+segment_sum 63 ms → ELL 10.5-11.5 ms at the width the cost model in
+``ops/plan.pick_ell_width`` selects.  The remaining time is the v5e random
+row-gather engine itself (~370-460M rows/s regardless of index order or
+width — ``benchmark/ell_decompose.py``), so this is within ~25 % of that
+case's physical floor.  Graphs with banded/matrix structure skip ELL
+entirely: ``ops/plan.build_spmm_plan`` routes them to the BSR Pallas MXU
+kernel (``ops/pallas/bsr_kernel.py``, ~1 ms on the same shape).
 """
 from __future__ import annotations
 
@@ -32,8 +39,12 @@ import numpy as np
 class EllGraph(NamedTuple):
     """Padded incoming-neighbor table (receiver-major ELLPACK).
 
-    * ``senders``  — ``[V, D]`` int32 source-node index per slot (0 for pads).
-    * ``weights``  — ``[V, D]`` float edge weight per slot, 0 for pads (also
+    * ``senders``  — ``[D, V]`` int32 source-node index per slot (0 for
+      pads).  Column-major (slot-major) layout: ``senders[k]`` is one
+      contiguous column of V indices, which is what keeps the per-column
+      gathers streaming (a [V, D] row-major table makes every column slice
+      strided and measurably slower on v5e).
+    * ``weights``  — ``[D, V]`` float edge weight per slot, 0 for pads (also
       encodes the validity mask).
     * ``rows``     — ``[V]`` int32 receiver node of each virtual row, sorted
       ascending; multiple virtual rows may share a receiver (row splitting).
@@ -50,11 +61,11 @@ class EllGraph(NamedTuple):
 
     @property
     def num_virtual_rows(self) -> int:
-        return self.senders.shape[0]
+        return self.senders.shape[-1]
 
     @property
     def width(self) -> int:
-        return self.senders.shape[1]
+        return self.senders.shape[-2]
 
 
 # register static fields as aux data so EllGraph traces cleanly under jit
@@ -129,8 +140,8 @@ def ell_from_coo(
         v_pad == num_nodes and np.array_equal(rows[:v], np.arange(num_nodes))
     )
     return EllGraph(
-        senders=jnp.asarray(ell_s),
-        weights=jnp.asarray(ell_w),
+        senders=jnp.asarray(np.ascontiguousarray(ell_s.T)),
+        weights=jnp.asarray(np.ascontiguousarray(ell_w.T)),
         rows=jnp.asarray(rows),
         num_nodes=num_nodes,
         needs_combine=needs_combine,
@@ -163,12 +174,20 @@ def ell_pair_from_coo(
 # ---------------------------------------------------------------------------
 
 def _ell_gather_sum(x: jnp.ndarray, ell: EllGraph) -> jnp.ndarray:
-    """[V, F] weighted neighbor sums — fused gather+reduce, scatter-free."""
-    gathered = x[ell.senders]  # [V, D, F]
-    return jnp.einsum(
-        "vd,vdf->vf", ell.weights.astype(x.dtype), gathered,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    """[V, F] weighted neighbor sums — fused gather+reduce, scatter-free.
+
+    Written as ``width`` unrolled *column-slice* gathers (each a plain 1-D
+    row gather) accumulated elementwise.  On v5e the single [V, D] table
+    gather + einsum formulation runs ~8x slower (~2.6 GB/s-equiv) than this
+    unrolled form, which streams at ~520 GB/s — the 2-D gather defeats
+    XLA's fast gather lowering (measured in benchmark/spmm_shootout.py).
+    """
+    acc = None
+    for k in range(ell.width):
+        g = x[ell.senders[k]].astype(jnp.float32)
+        g = g * ell.weights[k].astype(jnp.float32)[:, None]
+        acc = g if acc is None else acc + g
+    return acc.astype(x.dtype)
 
 
 def _combine(part: jnp.ndarray, ell: EllGraph, aggr: str) -> jnp.ndarray:
@@ -189,17 +208,19 @@ def spmm_ell_sum(x: jnp.ndarray, ell: EllGraph) -> jnp.ndarray:
 def spmm_ell_mean(x: jnp.ndarray, ell: EllGraph) -> jnp.ndarray:
     total = spmm_ell_sum(x, ell)
     cnt = _combine(
-        jnp.sum((ell.weights != 0).astype(x.dtype), axis=1, keepdims=True),
+        jnp.sum((ell.weights != 0).astype(x.dtype), axis=0)[:, None],
         ell, "add",
     )
     return total / jnp.maximum(cnt, 1)
 
 
 def spmm_ell_max(x: jnp.ndarray, ell: EllGraph) -> jnp.ndarray:
-    gathered = x[ell.senders]  # [V, D, F]
-    valid = (ell.weights != 0)[..., None]
     neg = jnp.array(-jnp.inf, x.dtype)
-    part = jnp.max(jnp.where(valid, gathered, neg), axis=1)
+    part = None
+    for k in range(ell.width):  # column-slice gathers (see _ell_gather_sum)
+        g = x[ell.senders[k]]
+        g = jnp.where((ell.weights[k] != 0)[:, None], g, neg)
+        part = g if part is None else jnp.maximum(part, g)
     out = _combine(part, ell, "max")
     return jnp.where(jnp.isneginf(out), jnp.zeros_like(out), out)
 

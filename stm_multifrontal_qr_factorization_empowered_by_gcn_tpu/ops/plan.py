@@ -77,13 +77,16 @@ jax.tree_util.register_pytree_node(SpmmPlan, _plan_flatten, _plan_unflatten)
 def pick_ell_width(
     receivers: np.ndarray, num_nodes: int, candidates=(4, 8, 16, 32, 64)
 ) -> int:
-    """Width minimizing estimated HBM cost: gathered slots (row-transaction
-    bound) + combine traffic (~0.5 row-equivalents per virtual row)."""
+    """Width minimizing estimated HBM cost: gathered slots (the v5e gather
+    engine is row-bound at ~370-460M rows/s, benchmark/ell_decompose.py)
+    plus ~2 row-equivalents of virtual-row combine + accumulate overhead
+    per virtual row (calibrated on the N=131k/E=4.2M bench shape, where
+    this model correctly ranks w16 < w8 < w32 < w64)."""
     deg = np.bincount(np.asarray(receivers, np.int64), minlength=num_nodes)
     best_w, best_cost = candidates[0], np.inf
     for w in candidates:
         vrows = np.maximum(-(-deg // w), 1)
-        cost = float(vrows.sum()) * (w + 0.5)
+        cost = float(vrows.sum()) * (w + 2.0)
         if cost < best_cost:
             best_w, best_cost = w, cost
     return best_w
