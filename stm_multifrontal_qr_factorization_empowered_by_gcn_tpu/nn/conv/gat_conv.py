@@ -82,6 +82,7 @@ class GATConv(MessagePassing):
         num_nodes: Optional[int] = None,
         edge_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
+        attn_ell=None,
     ) -> jnp.ndarray:
         (x_src, x_dst), senders, receivers, num_nodes, edge_mask, _ = (
             resolve_graph_args(x, graph_or_senders, receivers, num_nodes, edge_mask)
@@ -120,9 +121,18 @@ class GATConv(MessagePassing):
             if alpha_self is not None:
                 alpha_self = nn.Dropout(self.dropout, deterministic=not train)(alpha_self)
 
-        msg = g_src[senders] * alpha_edge[..., None]          # [E, H, F]
-        out = jax.ops.segment_sum(msg, receivers, num_nodes)  # [N, H, F]
-        out = _pctx.cross_shard_sum(out)
+        if attn_ell is not None:
+            # scatter-free fast path: precomputed (fwd, bwd) EllAttn tables
+            # (ops/ell.ell_attn_pair_from_coo); not valid under edge sharding
+            from ...ops.ell import spmm_ell_attn
+
+            out = spmm_ell_attn(
+                g_src, alpha_edge, attn_ell[0], attn_ell[1], senders, receivers
+            )
+        else:
+            msg = g_src[senders] * alpha_edge[..., None]          # [E, H, F]
+            out = jax.ops.segment_sum(msg, receivers, num_nodes)  # [N, H, F]
+            out = _pctx.cross_shard_sum(out)
         if alpha_self is not None:
             out = out + g_src * alpha_self[..., None]
 
@@ -157,6 +167,7 @@ class GATv2Conv(MessagePassing):
         num_nodes: Optional[int] = None,
         edge_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
+        attn_ell=None,
     ) -> jnp.ndarray:
         (x_src, x_dst), senders, receivers, num_nodes, edge_mask, _ = (
             resolve_graph_args(x, graph_or_senders, receivers, num_nodes, edge_mask)
@@ -186,8 +197,15 @@ class GATv2Conv(MessagePassing):
             if alpha_self is not None:
                 alpha_self = nn.Dropout(self.dropout, deterministic=not train)(alpha_self)
 
-        msg = g_l[senders] * alpha_edge[..., None]
-        out = _pctx.cross_shard_sum(jax.ops.segment_sum(msg, receivers, num_nodes))
+        if attn_ell is not None:
+            from ...ops.ell import spmm_ell_attn
+
+            out = spmm_ell_attn(
+                g_l, alpha_edge, attn_ell[0], attn_ell[1], senders, receivers
+            )
+        else:
+            msg = g_l[senders] * alpha_edge[..., None]
+            out = _pctx.cross_shard_sum(jax.ops.segment_sum(msg, receivers, num_nodes))
         if alpha_self is not None:
             out = out + g_l * alpha_self[..., None]
 

@@ -160,6 +160,7 @@ class TransformerConv(MessagePassing):
         num_nodes: Optional[int] = None,
         edge_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
+        attn_ell=None,
     ) -> jnp.ndarray:
         (x_src, x_dst), senders, receivers, num_nodes, edge_mask, g_attr = (
             resolve_graph_args(x, graph_or_senders, receivers, num_nodes, edge_mask)
@@ -187,8 +188,18 @@ class TransformerConv(MessagePassing):
         alpha, _ = _attend(logits, None, receivers, num_nodes, edge_mask)
         if self.dropout > 0:
             alpha = nn.Dropout(self.dropout, deterministic=not train)(alpha)
-        out = jax.ops.segment_sum(val_j * alpha[..., None], receivers, num_nodes)
-        out = _pctx.cross_shard_sum(out)
+        use_ell = attn_ell is not None and (
+            edge_attr is None or self.edge_dim is None
+        )  # with edge terms the per-edge values aren't a pure node gather
+        if use_ell:
+            from ...ops.ell import spmm_ell_attn
+
+            out = spmm_ell_attn(
+                value, alpha, attn_ell[0], attn_ell[1], senders, receivers
+            )
+        else:
+            out = jax.ops.segment_sum(val_j * alpha[..., None], receivers, num_nodes)
+            out = _pctx.cross_shard_sum(out)
 
         out = out.reshape(num_nodes, h * f) if self.concat else out.mean(axis=1)
         if self.root_weight and x_dst is not None:

@@ -1,8 +1,12 @@
 from .ell import (
+    EllAttn,
     EllGraph,
+    ell_attn_from_coo,
+    ell_attn_pair_from_coo,
     ell_from_coo,
     ell_pair_from_coo,
     spmm_ell,
+    spmm_ell_attn,
     spmm_ell_max,
     spmm_ell_mean,
     spmm_ell_sum,
@@ -31,8 +35,9 @@ from .segment import (
 from .spmm import adjacency_dense, best_spmm, spmm_coo, spmm_dense
 
 __all__ = [
-    "EllGraph", "ell_from_coo", "ell_pair_from_coo",
-    "spmm_ell", "spmm_ell_max", "spmm_ell_mean", "spmm_ell_sum",
+    "EllAttn", "EllGraph", "ell_attn_from_coo", "ell_attn_pair_from_coo",
+    "ell_from_coo", "ell_pair_from_coo",
+    "spmm_ell", "spmm_ell_attn", "spmm_ell_max", "spmm_ell_mean", "spmm_ell_sum",
     "BsrMatrix", "bsr_from_coo", "bsr_matmul", "bsr_transpose_coo", "spmm_bsr",
     "SpmmPlan", "build_spmm_plan", "build_gcn_plan", "build_mean_plan",
     "gcn_norm_np",

@@ -255,6 +255,193 @@ def _spmm_bwd(res, g):
 spmm_ell.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+# ---------------------------------------------------------------------------
+# dynamic-edge-weight (attention) ELL: weights come in per forward pass
+# ---------------------------------------------------------------------------
+
+class EllAttn(NamedTuple):
+    """ELL table whose per-slot weights are *gathered at run time* from a
+    dense per-edge array (attention alphas, edge-MLP outputs, …) instead of
+    being baked in at build time.
+
+    This is the scatter-free aggregation path for attention convs (GAT,
+    GATv2, Transformer) — the reference runs these through torch-scatter's
+    CUDA scatter-add on [E, H, F] messages
+    (``torch_geometric/nn/conv/gat_conv.py:142-146`` via
+    ``MessagePassing.aggregate``).  Here the per-edge weight is looked up by
+    ``edge_ids`` (pad slots point one-past-the-end at a zero row), so the
+    whole weighted SpMM stays unrolled row gathers + elementwise FMA.
+
+    Fields mirror :class:`EllGraph`; ``edge_ids`` replaces ``weights``.
+    """
+
+    senders: jnp.ndarray   # [D, V] int32 source node per slot (0 for pads)
+    edge_ids: jnp.ndarray  # [D, V] int32 edge index per slot (E for pads)
+    rows: jnp.ndarray      # [V] receiver per virtual row
+    num_nodes: int
+    needs_combine: bool
+
+    @property
+    def width(self) -> int:
+        return self.senders.shape[-2]
+
+
+def _ell_attn_flatten(g: EllAttn):
+    return (g.senders, g.edge_ids, g.rows), (g.num_nodes, g.needs_combine)
+
+
+def _ell_attn_unflatten(aux, children):
+    return EllAttn(*children, num_nodes=aux[0], needs_combine=aux[1])
+
+
+jax.tree_util.register_pytree_node(EllAttn, _ell_attn_flatten, _ell_attn_unflatten)
+
+
+def ell_attn_from_coo(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    width: int = 16,
+    row_multiple: int = 128,
+) -> EllAttn:
+    """Host-side COO → attention-ELL conversion.  ``edge_ids`` keep the
+    *original* edge numbering so run-time ``alpha[e]`` arrays line up."""
+    senders = np.asarray(senders, np.int32)
+    receivers = np.asarray(receivers, np.int32)
+    e = senders.shape[0]
+
+    order = np.argsort(receivers, kind="stable")
+    s_sorted, r_sorted = senders[order], receivers[order]
+
+    deg = np.bincount(r_sorted, minlength=num_nodes)
+    vrows_per_node = np.maximum((deg + width - 1) // width, 1)
+    v = int(vrows_per_node.sum())
+    v_pad = int(-(-max(v, 1) // row_multiple) * row_multiple)
+
+    ell_s = np.zeros((v_pad, width), np.int32)
+    ell_e = np.full((v_pad, width), e, np.int32)  # pad → one-past-end
+    rows = np.full(v_pad, num_nodes - 1, np.int32)
+
+    vstart = np.concatenate([[0], np.cumsum(vrows_per_node)])
+    estart = np.concatenate([[0], np.cumsum(deg)])
+    if e > 0:
+        rank = np.arange(e, dtype=np.int64) - estart[r_sorted]
+        vrow = vstart[r_sorted] + rank // width
+        slot = rank % width
+        ell_s[vrow, slot] = s_sorted
+        ell_e[vrow, slot] = order
+    rows[:v] = np.repeat(np.arange(num_nodes, dtype=np.int32), vrows_per_node)
+
+    needs_combine = not (
+        v_pad == num_nodes and np.array_equal(rows[:v], np.arange(num_nodes))
+    )
+    return EllAttn(
+        senders=jnp.asarray(np.ascontiguousarray(ell_s.T)),
+        edge_ids=jnp.asarray(np.ascontiguousarray(ell_e.T)),
+        rows=jnp.asarray(rows),
+        num_nodes=num_nodes,
+        needs_combine=needs_combine,
+    )
+
+
+def ell_attn_pair_from_coo(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    width: int = 16,
+    row_multiple: int = 128,
+) -> Tuple[EllAttn, EllAttn]:
+    """(forward, transpose) attention-ELL pair.  Both tables index the *same*
+    original edge array, so one run-time ``alpha`` drives both directions."""
+    fwd = ell_attn_from_coo(
+        senders, receivers, num_nodes, width=width, row_multiple=row_multiple
+    )
+    bwd = ell_attn_from_coo(
+        receivers, senders, num_nodes, width=width, row_multiple=row_multiple
+    )
+    return fwd, bwd
+
+
+def _ell_attn_gather_sum(
+    x: jnp.ndarray, alpha_ext: jnp.ndarray, ell: EllAttn
+) -> jnp.ndarray:
+    """sum_k alpha[eid_k] * x[send_k] over slots; x [N, ...F], alpha_ext
+    [E+1, ...H] (last row zero).  Broadcasting: alpha gains trailing dims to
+    match x's feature axes."""
+    acc = None
+    for k in range(ell.width):
+        g = x[ell.senders[k]].astype(jnp.float32)
+        w = alpha_ext[ell.edge_ids[k]].astype(jnp.float32)
+        w = w.reshape(w.shape + (1,) * (g.ndim - w.ndim))
+        g = g * w
+        acc = g if acc is None else acc + g
+    return acc.astype(x.dtype)
+
+
+def _attn_combine(part: jnp.ndarray, ell: EllAttn) -> jnp.ndarray:
+    if not ell.needs_combine:
+        return part
+    from .segment import aggregate
+
+    return aggregate(
+        "add", part, ell.rows, ell.num_nodes, indices_are_sorted=True
+    )
+
+
+def _pad_zero_row(alpha: jnp.ndarray) -> jnp.ndarray:
+    pad = jnp.zeros((1,) + alpha.shape[1:], alpha.dtype)
+    return jnp.concatenate([alpha, pad], axis=0)
+
+
+@jax.custom_vjp
+def spmm_ell_attn(
+    x: jnp.ndarray,
+    alpha: jnp.ndarray,
+    ell_fwd: EllAttn,
+    ell_bwd: EllAttn,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+) -> jnp.ndarray:
+    """out[r] = Σ_{e: recv(e)=r} alpha[e] · x[send(e)] — differentiable in
+    both ``x`` and ``alpha`` with *no scatter anywhere*:
+
+    * forward: unrolled ELL gathers weighted by gathered alphas;
+    * ∂x: the transpose-graph attention SpMM (``ell_bwd``);
+    * ∂alpha: an SDDMM — ``dα_e = Σ_F gout[recv(e)] · x[send(e)]`` — two row
+      gathers and a dot (``ops/sddmm.py`` role).
+
+    ``x``: [N, F] or [N, H, F]; ``alpha``: [E] or [E, H] respectively.
+    """
+    return _attn_combine(_ell_attn_gather_sum(x, _pad_zero_row(alpha), ell_fwd), ell_fwd)
+
+
+def _spmm_attn_fwd(x, alpha, ell_fwd, ell_bwd, senders, receivers):
+    out = _attn_combine(
+        _ell_attn_gather_sum(x, _pad_zero_row(alpha), ell_fwd), ell_fwd
+    )
+    return out, (x, alpha, ell_fwd, ell_bwd, senders, receivers)
+
+
+def _spmm_attn_bwd(res, gout):
+    x, alpha, ell_fwd, ell_bwd, senders, receivers = res
+    dx = _attn_combine(
+        _ell_attn_gather_sum(gout, _pad_zero_row(alpha), ell_bwd), ell_bwd
+    ).astype(x.dtype)
+    # SDDMM: per-edge <gout[r], x[s]> reduced over the trailing feature axis
+    dalpha = jnp.sum(
+        gout[receivers].astype(jnp.float32) * x[senders].astype(jnp.float32),
+        axis=-1,
+    ).astype(alpha.dtype)
+    zf = jax.tree_util.tree_map(jnp.zeros_like, ell_fwd)
+    zb = jax.tree_util.tree_map(jnp.zeros_like, ell_bwd)
+    return dx, dalpha, zf, zb, jnp.zeros_like(senders), jnp.zeros_like(receivers)
+
+
+spmm_ell_attn.defvjp(_spmm_attn_fwd, _spmm_attn_bwd)
+
+
 def ell_pairs_for_batches(
     stacked_g, *, width: int = 64, row_multiple: int = 128
 ) -> Tuple[EllGraph, EllGraph]:
