@@ -268,8 +268,293 @@ MDResult min_degree(const Adj& a, const int32_t* given_order /*nullable*/,
 }
 
 // ---------------------------------------------------------------------------
-// Nested dissection: BFS level-set bisection, separator ordered last,
-// min-degree on small leaves.
+// Multilevel graph bisection (the METIS_NodeND / METIS_PartGraph role,
+// written from scratch against the published multilevel scheme):
+//   coarsen by heavy-edge matching -> greedy BFS-grown initial bisection at
+//   the coarsest level -> project back, FM boundary refinement per level.
+// Vertex separators come from a greedy minimum vertex cover of the cut.
+// ---------------------------------------------------------------------------
+struct WGraph {
+  vector<int64_t> ptr;   // n+1
+  vector<int32_t> idx;   // neighbor ids
+  vector<int32_t> ewt;   // edge weights (parallel to idx)
+  vector<int32_t> vwt;   // vertex weights
+  int32_t n = 0;
+  int64_t total_vwt = 0;
+};
+
+uint64_t lcg_next(uint64_t& s) {
+  s = s * 6364136223846793005ull + 1442695040888963407ull;
+  return s >> 33;
+}
+
+// Heavy-edge matching; returns coarse vertex count and fills cmap.
+int32_t hem_match(const WGraph& g, vector<int32_t>& cmap, uint64_t seed) {
+  vector<int32_t> order(g.n);
+  std::iota(order.begin(), order.end(), 0);
+  uint64_t s = seed * 2654435761ull + 1;
+  for (int32_t i = g.n - 1; i > 0; --i)
+    std::swap(order[i], order[lcg_next(s) % (uint64_t)(i + 1)]);
+  cmap.assign(g.n, -1);
+  int32_t cn = 0;
+  for (int32_t v : order) {
+    if (cmap[v] >= 0) continue;
+    int32_t best = -1, best_w = -1;
+    for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p) {
+      int32_t u = g.idx[p];
+      if (cmap[u] < 0 && g.ewt[p] > best_w) { best_w = g.ewt[p]; best = u; }
+    }
+    cmap[v] = cn;
+    if (best >= 0) cmap[best] = cn;
+    ++cn;
+  }
+  return cn;
+}
+
+WGraph coarsen_graph(const WGraph& g, const vector<int32_t>& cmap, int32_t cn) {
+  WGraph c;
+  c.n = cn;
+  c.vwt.assign(cn, 0);
+  c.total_vwt = g.total_vwt;
+  for (int32_t v = 0; v < g.n; ++v) c.vwt[cmap[v]] += g.vwt[v];
+  // bucket fine vertices by coarse id
+  vector<int32_t> head(cn, -1), nxt(g.n, -1);
+  for (int32_t v = 0; v < g.n; ++v) { nxt[v] = head[cmap[v]]; head[cmap[v]] = v; }
+  c.ptr.assign(cn + 1, 0);
+  vector<int32_t> mark(cn, -1);
+  vector<int64_t> where(cn, 0);
+  // two passes: count then fill
+  for (int pass = 0; pass < 2; ++pass) {
+    if (pass == 1) {
+      for (int32_t i = 0; i < cn; ++i) c.ptr[i + 1] += c.ptr[i];
+      c.idx.resize(c.ptr[cn]);
+      c.ewt.assign(c.ptr[cn], 0);
+      std::fill(mark.begin(), mark.end(), -1);
+      for (int32_t i = cn; i > 0; --i) c.ptr[i] = c.ptr[i - 1];
+      c.ptr[0] = 0;
+    }
+    for (int32_t cv = 0; cv < cn; ++cv) {
+      int64_t deg = 0;
+      for (int32_t v = head[cv]; v >= 0; v = nxt[v]) {
+        for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p) {
+          int32_t cu = cmap[g.idx[p]];
+          if (cu == cv) continue;
+          if (mark[cu] != cv) {
+            mark[cu] = cv;
+            if (pass == 1) {
+              int64_t pos = c.ptr[cv + 1]++;
+              where[cu] = pos;
+              c.idx[pos] = cu;
+              c.ewt[pos] = g.ewt[p];
+            } else {
+              ++deg;
+            }
+          } else if (pass == 1) {
+            c.ewt[where[cu]] += g.ewt[p];
+          }
+        }
+      }
+      if (pass == 0) c.ptr[cv + 1] = deg;
+      // reset marks for the counting pass? mark keyed by cv: no reset needed
+    }
+    if (pass == 1) {
+      // c.ptr[cv+1] was used as a running fill cursor; it now equals the end
+    }
+  }
+  return c;
+}
+
+int64_t cut_of(const WGraph& g, const vector<char>& part) {
+  int64_t cut = 0;
+  for (int32_t v = 0; v < g.n; ++v)
+    for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p)
+      if (part[v] != part[g.idx[p]]) cut += g.ewt[p];
+  return cut / 2;
+}
+
+// One FM pass with rollback; returns the cut improvement (>= 0).
+int64_t fm_pass(const WGraph& g, vector<char>& part, int64_t target0,
+                int64_t slack) {
+  vector<int64_t> gain(g.n, 0);
+  int64_t w0 = 0;
+  for (int32_t v = 0; v < g.n; ++v) {
+    if (part[v] == 0) w0 += g.vwt[v];
+    for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p)
+      gain[v] += (part[g.idx[p]] != part[v]) ? g.ewt[p] : -g.ewt[p];
+  }
+  // lazy max-heap of (gain, v)
+  std::priority_queue<std::pair<int64_t, int32_t>> pq;
+  for (int32_t v = 0; v < g.n; ++v) pq.push({gain[v], v});
+  vector<char> moved(g.n, 0);
+  vector<int32_t> seq;
+  seq.reserve(g.n);
+  int64_t cur = 0, best = 0;
+  size_t best_k = 0;
+  while (!pq.empty()) {
+    auto [gv, v] = pq.top();
+    pq.pop();
+    if (moved[v] || gv != gain[v]) continue;  // stale entry
+    // balance check for moving v to the other side
+    int64_t nw0 = part[v] == 0 ? w0 - g.vwt[v] : w0 + g.vwt[v];
+    if (nw0 < target0 - slack || nw0 > target0 + slack) continue;
+    moved[v] = 1;
+    char from = part[v];
+    part[v] = (char)(1 - from);
+    w0 = nw0;
+    cur += gain[v];
+    seq.push_back(v);
+    if (cur > best) { best = cur; best_k = seq.size(); }
+    for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p) {
+      int32_t u = g.idx[p];
+      if (moved[u]) continue;
+      gain[u] += (part[u] == from) ? 2 * g.ewt[p] : -2 * g.ewt[p];
+      pq.push({gain[u], u});
+    }
+    gain[v] = -gain[v];
+  }
+  // roll back to the best prefix
+  for (size_t k = seq.size(); k > best_k; --k) part[seq[k - 1]] ^= 1;
+  return best;
+}
+
+void fm_refine(const WGraph& g, vector<char>& part, int64_t target0,
+               int64_t slack, int max_passes) {
+  for (int pass = 0; pass < max_passes; ++pass)
+    if (fm_pass(g, part, target0, slack) <= 0) break;
+}
+
+// Greedy BFS-grown bisection at the coarsest level; several seeds, best cut.
+vector<char> initial_bisection(const WGraph& g, int64_t target0, int64_t slack) {
+  vector<char> best_part;
+  int64_t best_cut = -1;
+  uint64_t s = 0x9e3779b97f4a7c15ull;
+  for (int attempt = 0; attempt < 4; ++attempt) {
+    vector<char> part(g.n, 1);
+    int32_t start = (int32_t)(lcg_next(s) % (uint64_t)g.n);
+    std::queue<int32_t> q;
+    vector<char> seen(g.n, 0);
+    q.push(start);
+    seen[start] = 1;
+    int64_t w0 = 0;
+    int32_t scan = 0;
+    while (w0 < target0) {
+      if (q.empty()) {  // disconnected: seed the next unseen vertex
+        while (scan < g.n && seen[scan]) ++scan;
+        if (scan == g.n) break;
+        seen[scan] = 1;
+        q.push(scan);
+      }
+      int32_t v = q.front();
+      q.pop();
+      part[v] = 0;
+      w0 += g.vwt[v];
+      for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p)
+        if (!seen[g.idx[p]]) { seen[g.idx[p]] = 1; q.push(g.idx[p]); }
+    }
+    fm_refine(g, part, target0, slack, 4);
+    int64_t cut = cut_of(g, part);
+    if (best_cut < 0 || cut < best_cut) { best_cut = cut; best_part = part; }
+  }
+  return best_part;
+}
+
+// Full multilevel bisection; frac = target share of side 0.
+vector<char> multilevel_bisect(const WGraph& g0, double frac = 0.5) {
+  vector<WGraph> levels;
+  vector<vector<int32_t>> cmaps;
+  levels.push_back(g0);
+  uint64_t seed = 1;
+  while (levels.back().n > 160) {
+    const WGraph& g = levels.back();
+    vector<int32_t> cmap;
+    int32_t cn = hem_match(g, cmap, seed++);
+    if (cn > (int32_t)(0.92 * g.n)) break;  // coarsening stalled
+    WGraph c = coarsen_graph(g, cmap, cn);
+    cmaps.push_back(std::move(cmap));
+    levels.push_back(std::move(c));
+  }
+  const WGraph& coarsest = levels.back();
+  int64_t target0 = (int64_t)(frac * (double)coarsest.total_vwt + 0.5);
+  int64_t slack = std::max<int64_t>(coarsest.total_vwt / 20, 1);
+  // vertex weights can be lumpy at the coarsest level: widen by the largest
+  for (int32_t v = 0; v < coarsest.n; ++v)
+    slack = std::max<int64_t>(slack, coarsest.vwt[v]);
+  vector<char> part = initial_bisection(coarsest, target0, slack);
+  // uncoarsen + refine
+  for (size_t l = cmaps.size(); l > 0; --l) {
+    const WGraph& fine = levels[l - 1];
+    const vector<int32_t>& cmap = cmaps[l - 1];
+    vector<char> fpart(fine.n);
+    for (int32_t v = 0; v < fine.n; ++v) fpart[v] = part[cmap[v]];
+    int64_t fslack = std::max<int64_t>(fine.total_vwt / 20, 1);
+    fm_refine(fine, fpart, target0, fslack, 6);
+    part = std::move(fpart);
+  }
+  return part;
+}
+
+// Induced weighted subgraph of `a` on `nodes` (unit weights).
+WGraph induced_wgraph(const Adj& a, const vector<int32_t>& nodes,
+                      vector<int32_t>& local) {
+  const int32_t m = (int32_t)nodes.size();
+  WGraph g;
+  g.n = m;
+  g.vwt.assign(m, 1);
+  g.total_vwt = m;
+  for (int32_t i = 0; i < m; ++i) local[nodes[i]] = i;
+  g.ptr.assign(m + 1, 0);
+  for (int32_t i = 0; i < m; ++i) {
+    int32_t v = nodes[i];
+    for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p)
+      if (local[a.idx[p]] >= 0) g.ptr[i + 1]++;
+  }
+  for (int32_t i = 0; i < m; ++i) g.ptr[i + 1] += g.ptr[i];
+  g.idx.resize(g.ptr[m]);
+  g.ewt.assign(g.ptr[m], 1);
+  vector<int64_t> fill(g.ptr.begin(), g.ptr.end() - 1);
+  for (int32_t i = 0; i < m; ++i) {
+    int32_t v = nodes[i];
+    for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p) {
+      int32_t lu = local[a.idx[p]];
+      if (lu >= 0) g.idx[fill[i]++] = lu;
+    }
+  }
+  return g;
+}
+
+// Vertex separator from an edge cut: greedy minimum vertex cover over the
+// cut edges (METIS's sep-from-cut role), then sides re-derived.
+void separator_from_cut(const WGraph& g, const vector<char>& part,
+                        vector<char>& in_sep) {
+  in_sep.assign(g.n, 0);
+  // cut degree per vertex
+  vector<int32_t> cdeg(g.n, 0);
+  for (int32_t v = 0; v < g.n; ++v)
+    for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p)
+      if (part[v] != part[g.idx[p]]) cdeg[v]++;
+  std::priority_queue<std::pair<int32_t, int32_t>> pq;
+  for (int32_t v = 0; v < g.n; ++v)
+    if (cdeg[v] > 0) pq.push({cdeg[v], v});
+  while (!pq.empty()) {
+    auto [d, v] = pq.top();
+    pq.pop();
+    if (in_sep[v] || d != cdeg[v]) continue;  // stale
+    if (cdeg[v] <= 0) break;
+    in_sep[v] = 1;
+    for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p) {
+      int32_t u = g.idx[p];
+      if (part[u] != part[v] && !in_sep[u] && cdeg[u] > 0) {
+        cdeg[u]--;
+        pq.push({cdeg[u], u});
+      }
+    }
+    cdeg[v] = 0;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Nested dissection: multilevel bisection + greedy-cover vertex separator,
+// separator ordered last, min-degree on small leaves.
 // ---------------------------------------------------------------------------
 void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
                 vector<int32_t>& out) {
@@ -292,62 +577,18 @@ void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
     for (int32_t i = 0; i < m; ++i) out.push_back(nodes[r.perm[i]]);
     return;
   }
-  // BFS from a pseudo-peripheral node of the induced subgraph
-  vector<char> in(a.n, 0);
-  for (int32_t v : nodes) in[v] = 1;
-  vector<int32_t> dist(a.n, -1);
-  std::queue<int32_t> q;
-  int32_t root = nodes[0];
-  // quick pseudo-peripheral: 2 BFS passes
-  for (int pass = 0; pass < 2; ++pass) {
-    std::fill(dist.begin(), dist.end(), -1);
-    while (!q.empty()) q.pop();
-    q.push(root);
-    dist[root] = 0;
-    int32_t far = root;
-    while (!q.empty()) {
-      int32_t v = q.front();
-      q.pop();
-      if (dist[v] > dist[far]) far = v;
-      for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p) {
-        int32_t u = a.idx[p];
-        if (in[u] && dist[u] < 0) { dist[u] = dist[v] + 1; q.push(u); }
-      }
-    }
-    root = far;
-  }
-  std::fill(dist.begin(), dist.end(), -1);
-  while (!q.empty()) q.pop();
-  q.push(root);
-  dist[root] = 0;
-  int32_t maxd = 0;
-  int64_t reached = 0;
-  while (!q.empty()) {
-    int32_t v = q.front();
-    q.pop();
-    reached++;
-    maxd = std::max(maxd, dist[v]);
-    for (int64_t p = a.ptr[v]; p < a.ptr[v + 1]; ++p) {
-      int32_t u = a.idx[p];
-      if (in[u] && dist[u] < 0) { dist[u] = dist[v] + 1; q.push(u); }
-    }
-  }
-  // disconnected pieces or path-like graph: give unreached to side A
-  // choose split level so halves balance
-  vector<int64_t> level_cnt(maxd + 2, 0);
-  for (int32_t v : nodes)
-    if (dist[v] >= 0) level_cnt[dist[v]]++;
-  int64_t acc = 0;
-  int32_t split = 0;
-  for (int32_t l = 0; l <= maxd; ++l) {
-    acc += level_cnt[l];
-    if (acc >= reached / 2) { split = l; break; }
-  }
+  // multilevel edge bisection of the induced subgraph, then a vertex
+  // separator from the cut (greedy min cover)
+  vector<int32_t> local(a.n, -1);
+  WGraph sub = induced_wgraph(a, nodes, local);
+  vector<char> part = multilevel_bisect(sub);
+  vector<char> in_sep;
+  separator_from_cut(sub, part, in_sep);
   vector<int32_t> left, right, sep;
-  for (int32_t v : nodes) {
-    if (dist[v] < 0 || dist[v] < split) left.push_back(v);
-    else if (dist[v] == split) sep.push_back(v);
-    else right.push_back(v);
+  for (int32_t i = 0; i < m; ++i) {
+    if (in_sep[i]) sep.push_back(nodes[i]);
+    else if (part[i] == 0) left.push_back(nodes[i]);
+    else right.push_back(nodes[i]);
   }
   if (left.empty() || right.empty()) {
     // bisection failed (clique-ish): fall back to min-degree on the part
@@ -374,6 +615,32 @@ void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
   nd_recurse(a, left, leaf_size, out);
   nd_recurse(a, right, leaf_size, out);
   for (int32_t v : sep) out.push_back(v);  // separator eliminated last
+}
+
+// ---------------------------------------------------------------------------
+// k-way partition via recursive multilevel bisection (METIS_PartGraph role;
+// ClusterData / multi-host edge partition quality path)
+// ---------------------------------------------------------------------------
+void ml_partition_recurse(const Adj& a, vector<int32_t>& nodes, int32_t k0,
+                          int32_t k, int32_t* part) {
+  if (k <= 1 || (int32_t)nodes.size() <= 1) {
+    for (int32_t v : nodes) part[v] = k0;
+    return;
+  }
+  int32_t kl = k / 2, kr = k - kl;
+  vector<int32_t> local(a.n, -1);
+  WGraph sub = induced_wgraph(a, nodes, local);
+  vector<char> side = multilevel_bisect(sub, (double)kl / (double)k);
+  vector<int32_t> left, right;
+  for (size_t i = 0; i < nodes.size(); ++i)
+    (side[i] == 0 ? left : right).push_back(nodes[i]);
+  if (left.empty() || right.empty()) {
+    // degenerate cut: split by order to guarantee progress
+    left.assign(nodes.begin(), nodes.begin() + nodes.size() / 2);
+    right.assign(nodes.begin() + nodes.size() / 2, nodes.end());
+  }
+  ml_partition_recurse(a, left, k0, kl, part);
+  ml_partition_recurse(a, right, k0 + kl, kr, part);
 }
 
 // ---------------------------------------------------------------------------
@@ -495,6 +762,16 @@ int stm_bfs_partition(int32_t n, int64_t nnz, const int32_t* src,
                       const int32_t* dst, int32_t parts, int32_t* part_out) {
   Adj a = build_adj(n, nnz, src, dst, true);
   bfs_partition_impl(a, parts, part_out);
+  return 0;
+}
+
+// k-way partition via recursive multilevel bisection (METIS_PartGraph role)
+int stm_ml_partition(int32_t n, int64_t nnz, const int32_t* src,
+                     const int32_t* dst, int32_t parts, int32_t* part_out) {
+  Adj a = build_adj(n, nnz, src, dst, true);
+  vector<int32_t> nodes(n);
+  std::iota(nodes.begin(), nodes.end(), 0);
+  ml_partition_recurse(a, nodes, 0, parts, part_out);
   return 0;
 }
 

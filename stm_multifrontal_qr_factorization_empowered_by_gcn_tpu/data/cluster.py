@@ -76,8 +76,18 @@ class ClusterData:
     ):
         self.graph = graph
         n = int(np.sum(graph.n_node))
-        fn = partition_fn or bfs_partition
-        self.part = fn(
+        if partition_fn is None:
+            # multilevel recursive bisection (METIS_PartGraph role) when the
+            # native library is available; BFS-grow otherwise
+            try:
+                from .. import native
+
+                partition_fn = lambda s, r, n_, p_, seed=0: native.ml_partition(
+                    s, r, n_, p_
+                )
+            except Exception:
+                partition_fn = bfs_partition
+        self.part = partition_fn(
             np.asarray(graph.senders), np.asarray(graph.receivers), n, num_parts,
             seed=seed,
         )

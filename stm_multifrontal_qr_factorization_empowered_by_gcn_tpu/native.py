@@ -67,8 +67,11 @@ def _load():
     lib.stm_bfs_partition.argtypes = [
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p,
     ]
+    lib.stm_ml_partition.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p,
+    ]
     for f in (lib.stm_order, lib.stm_symbolic_fill, lib.stm_col_order,
-              lib.stm_bfs_partition):
+              lib.stm_bfs_partition, lib.stm_ml_partition):
         f.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -132,6 +135,19 @@ def bfs_partition(senders, receivers, num_nodes: int, parts: int) -> np.ndarray:
     rc = _load().stm_bfs_partition(num_nodes, len(s), _ptr(s), _ptr(r), parts, _ptr(out))
     if rc != 0:
         raise ValueError("stm_bfs_partition failed")
+    return out
+
+
+def ml_partition(senders, receivers, num_nodes: int, parts: int) -> np.ndarray:
+    """k-way partition via recursive multilevel bisection (HEM coarsening +
+    FM refinement — the METIS_PartGraph role used by the reference's
+    ClusterData, ``data/cluster.py:28-60``).  Lower edge cut than
+    :func:`bfs_partition` at the same balance."""
+    s, r = _as_i32(senders), _as_i32(receivers)
+    out = np.empty(num_nodes, np.int32)
+    rc = _load().stm_ml_partition(num_nodes, len(s), _ptr(s), _ptr(r), parts, _ptr(out))
+    if rc != 0:
+        raise ValueError("stm_ml_partition failed")
     return out
 
 

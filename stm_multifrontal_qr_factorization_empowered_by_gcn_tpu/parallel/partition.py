@@ -83,7 +83,7 @@ def partition_graph(
             try:
                 from .. import native
 
-                partition_fn = lambda s_, r_, n_, p_: native.bfs_partition(s_, r_, n_, p_)
+                partition_fn = lambda s_, r_, n_, p_: native.ml_partition(s_, r_, n_, p_)
             except Exception:
                 from ..data.cluster import bfs_partition
 
