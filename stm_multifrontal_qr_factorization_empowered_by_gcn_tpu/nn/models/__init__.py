@@ -19,8 +19,29 @@ from .misc_models import (
 from .gnn_explainer import ExplainerResult, explain as gnn_explain
 from .schnet import SchNet, radius_graph_padded
 from .node2vec import NeighborTable, Node2Vec, build_neighbor_table, random_walks
+from .dimenet import DimeNet, DimeNetGraph, dimenet_graph
+from .metapath2vec import MetaPath2Vec, build_metapath_tables
+from .signed_gcn import (
+    SignedGCN,
+    create_spectral_features,
+    signed_gcn_test,
+    split_edges,
+)
+from .tgn import LastNeighborLoader, TGNMemory, TGNState
 
 __all__ = [
+    "DimeNet",
+    "DimeNetGraph",
+    "dimenet_graph",
+    "MetaPath2Vec",
+    "build_metapath_tables",
+    "SignedGCN",
+    "create_spectral_features",
+    "signed_gcn_test",
+    "split_edges",
+    "LastNeighborLoader",
+    "TGNMemory",
+    "TGNState",
     "GAE",
     "ARGVADiscriminator",
     "argva_discriminator_loss",
