@@ -1,6 +1,15 @@
 from .agnn_pna import AGNNConv, PNAConv
 from .cheb_conv import ChebConv
 from .edge_conv import EdgeConv, GatedGraphConv, NNConv, ResGatedGraphConv
+from .extra_convs import (
+    CGConv,
+    GENConv,
+    MFConv,
+    PPFConv,
+    RGCNConv,
+    WLConv,
+    point_pair_features,
+)
 from .gat_conv import GATConv, GATv2Conv
 from .gcn2_arma_transformer import ARMAConv, GCN2Conv, TransformerConv
 from .gcn_conv import GCNConv
@@ -20,6 +29,13 @@ from .sage_conv import SAGEConv
 from .sg_appnp_tag import APPNP, ClusterGCNConv, LEConv, SGConv, TAGConv
 
 __all__ = [
+    "CGConv",
+    "GENConv",
+    "MFConv",
+    "PPFConv",
+    "RGCNConv",
+    "WLConv",
+    "point_pair_features",
     "XConv",
     "SplineConv",
     "SignedConv",
