@@ -55,7 +55,9 @@ def create_spectral_features(
     a = sp.coo_matrix((val, (ei[0], ei[1])), shape=(num_nodes, num_nodes)).tocsr()
     a.sum_duplicates()
     k = min(dim, min(a.shape) - 1)
-    _, _, vt = spla.svds(a.astype(np.float64), k=k)
+    _, _, vt = spla.svds(
+        a.astype(np.float64), k=k, random_state=np.random.default_rng(0)
+    )
     x = np.zeros((num_nodes, dim), np.float32)
     x[:, :k] = vt.T.astype(np.float32)
     return x

@@ -55,7 +55,7 @@ def test_signed_gcn_shapes_and_loss_decreases(rng):
         return optax.apply_updates(v, up), o, l
 
     losses = []
-    for i in range(40):
+    for i in range(100):
         variables, opt, l = step(variables, opt, jax.random.PRNGKey(i))
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.8
@@ -63,7 +63,9 @@ def test_signed_gcn_shapes_and_loss_decreases(rng):
     z = model.apply(variables, xj, pe, ne)
     auc, f1 = signed_gcn_test(model, variables, z, pos_ei, neg_ei)
     assert 0.0 <= auc <= 1.0 and 0.0 <= f1 <= 1.0
-    assert auc > 0.5  # trained on these edges; better than chance
+    # trained on these edges — must beat chance with margin (hard-argmax AUC
+    # is a coarse statistic on 60 edges; 0.5 exactly would be chance)
+    assert auc >= 0.55
 
 
 def test_split_edges_disjoint():
