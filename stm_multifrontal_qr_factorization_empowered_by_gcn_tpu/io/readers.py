@@ -98,7 +98,6 @@ def read_planetoid_data(raw_dir: str, name: str) -> Graph:
         n_edge=np.asarray([len(s)], np.int32),
         y=y,
     )
-    g.masks = {"train": train_mask, "val": val_mask, "test": test_mask}  # type: ignore
     return g, {"train": train_mask, "val": val_mask, "test": test_mask}
 
 

@@ -1,0 +1,131 @@
+"""IO reader tests with synthesized raw files (reference ``test/io`` gap —
+VERDICT r1 weak-item 7)."""
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.readers import (
+    read_npz,
+    read_off,
+    read_planetoid_data,
+    read_tu_data,
+    read_txt_array,
+)
+
+
+def test_read_txt_array(tmp_path):
+    p = tmp_path / "arr.txt"
+    p.write_text("1 2 3\n4 5 6\n")
+    a = read_txt_array(str(p))
+    np.testing.assert_allclose(a, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_read_off_triangle_mesh(tmp_path):
+    p = tmp_path / "mesh.off"
+    p.write_text(
+        "OFF\n4 2 0\n"
+        "0 0 0\n1 0 0\n1 1 0\n0 1 0\n"
+        "3 0 1 2\n3 0 2 3\n"
+    )
+    g = read_off(str(p))
+    assert int(g.n_node[0]) == 4
+    assert g.nodes.shape == (4, 3)
+    s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    fwd = set(zip(s.tolist(), r.tolist()))
+    # each triangle contributes its 3 edges, both directions
+    for a, b in [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]:
+        assert (a, b) in fwd and (b, a) in fwd
+
+
+def test_read_off_header_inline(tmp_path):
+    p = tmp_path / "mesh.off"
+    p.write_text("OFF3 1 0\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+    g = read_off(str(p))
+    assert int(g.n_node[0]) == 3
+
+
+def test_read_npz_roundtrip(tmp_path, rng):
+    import scipy.sparse as sp
+
+    n = 7
+    adj = sp.random(n, n, density=0.3, random_state=0, format="csr")
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    y = rng.integers(0, 3, n)
+    p = tmp_path / "g.npz"
+    np.savez(
+        p,
+        adj_data=adj.data, adj_indices=adj.indices,
+        adj_indptr=adj.indptr, adj_shape=np.asarray(adj.shape),
+        attr_matrix=x, labels=y,
+    )
+    g = read_npz(str(p))
+    assert int(g.n_node[0]) == n
+    np.testing.assert_allclose(np.asarray(g.nodes), x)
+    np.testing.assert_array_equal(np.asarray(g.y), y)
+    coo = adj.tocoo()
+    assert int(g.n_edge[0]) == coo.nnz
+    got = set(zip(np.asarray(g.senders).tolist(), np.asarray(g.receivers).tolist()))
+    assert got == set(zip(coo.col.tolist(), coo.row.tolist()))
+
+
+def test_read_tu_data(tmp_path, rng):
+    # two graphs: triangle (label 1) + single edge pair (label 2)
+    d = tmp_path
+    (d / "T_A.txt").write_text("1, 2\n2, 3\n3, 1\n4, 5\n5, 4\n")
+    (d / "T_graph_indicator.txt").write_text("1\n1\n1\n2\n2\n")
+    (d / "T_graph_labels.txt").write_text("1\n2\n")
+    (d / "T_node_labels.txt").write_text("0\n1\n0\n1\n1\n")
+    graphs = read_tu_data(str(d), "T")
+    assert len(graphs) == 2
+    g0, g1 = graphs
+    assert int(g0.n_node[0]) == 3 and int(g0.n_edge[0]) == 3
+    assert int(g1.n_node[0]) == 2 and int(g1.n_edge[0]) == 2
+    assert int(g0.y[0]) == 0 and int(g1.y[0]) == 1
+    # node labels one-hot encoded
+    np.testing.assert_allclose(np.asarray(g0.nodes)[:, 0], [1, 0, 1])
+
+
+def test_read_planetoid_data(tmp_path, rng):
+    """Synthesized tiny planetoid fixture exercising the allx/tx stitch and
+    test-index relocation (reference io/planetoid.py)."""
+    import scipy.sparse as sp
+
+    name = "tiny"
+    n_all, n_test, f, c = 6, 2, 4, 3
+    n = n_all + n_test
+    allx = rng.normal(size=(n_all, f)).astype(np.float32)
+    tx = rng.normal(size=(n_test, f)).astype(np.float32)
+    ally = np.eye(c)[rng.integers(0, c, n_all)]
+    ty = np.eye(c)[rng.integers(0, c, n_test)]
+    x = allx[:3]
+    y = ally[:3]
+    graph = {0: [1, 2], 1: [0], 2: [0], 3: [4], 4: [3], 5: [6], 6: [5], 7: []}
+    test_index = np.asarray([7, 6])  # shuffled on purpose
+
+    def dump(ext, obj):
+        with open(osp.join(tmp_path, f"ind.{name}.{ext}"), "wb") as fh:
+            pickle.dump(obj, fh)
+
+    dump("x", sp.csr_matrix(x))
+    dump("tx", sp.csr_matrix(tx))
+    dump("allx", sp.csr_matrix(allx))
+    dump("y", y)
+    dump("ty", ty)
+    dump("ally", ally)
+    dump("graph", graph)
+    np.savetxt(osp.join(tmp_path, f"ind.{name}.test.index"), test_index, fmt="%d")
+
+    g, masks = read_planetoid_data(str(tmp_path), name)
+    assert int(g.n_node[0]) == n
+    # test rows relocated to their true (sorted) positions
+    np.testing.assert_allclose(np.asarray(g.nodes)[6], tx[1], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.nodes)[7], tx[0], rtol=1e-6)
+    assert int(np.asarray(g.y)[6]) == int(ty[1].argmax())
+    assert masks["train"].sum() == 3
+    assert masks["test"].sum() == 2 and masks["test"][[6, 7]].all()
+    # undirected dedup
+    s, r = np.asarray(g.senders), np.asarray(g.receivers)
+    fwd = set(zip(s.tolist(), r.tolist()))
+    assert all((b, a) in fwd for a, b in fwd)
