@@ -131,8 +131,13 @@ class TUDataset(InMemoryDataset):
 
 class SuiteSparseMatrixCollection(InMemoryDataset):
     """reference ``datasets/suite_sparse.py:8-79`` — one graph per sparse
-    matrix.  Local-only: scans ``<root>/raw`` (or ``matrices_dir``) for
-    ``.mtx`` files instead of downloading from sparse.tamu.edu."""
+    matrix.  Uses local ``.mtx`` files under ``<root>/raw`` (or
+    ``matrices_dir``) when present; otherwise downloads the MatrixMarket
+    tarball from sparse.tamu.edu (``url``), exactly the reference's role —
+    in a no-egress environment the download raises with a clear message and
+    the local path remains the supported route."""
+
+    url = "https://sparse.tamu.edu/MM/{}/{}.tar.gz"
 
     def __init__(
         self, root: str, group: str = "local", name: Optional[str] = None,
@@ -146,6 +151,8 @@ class SuiteSparseMatrixCollection(InMemoryDataset):
 
     @property
     def raw_file_names(self):
+        if self.mtx_name and self.group != "local":
+            return [f"{self.mtx_name}.mtx"]
         return []
 
     @property
@@ -153,7 +160,33 @@ class SuiteSparseMatrixCollection(InMemoryDataset):
         return [f"{self.group}_{self.mtx_name or 'all'}.npz"]
 
     def download(self):
-        pass
+        """Fetch + extract ``{group}/{name}.tar.gz`` (reference
+        ``suite_sparse.py:52-54``'s role for .mat, using the MM mirror)."""
+        if self.group == "local" or not self.mtx_name:
+            return  # local mode: nothing to fetch
+        import io
+        import os
+        import tarfile
+        import urllib.request
+
+        url = self.url.format(self.group, self.mtx_name)
+        try:
+            with urllib.request.urlopen(url, timeout=60) as resp:
+                blob = resp.read()
+        except Exception as exc:  # no egress in this environment
+            raise RuntimeError(
+                f"could not download {url} ({exc}); place "
+                f"{self.mtx_name}.mtx under {self.raw_dir} or pass "
+                "matrices_dir= instead"
+            ) from exc
+        os.makedirs(self.raw_dir, exist_ok=True)
+        with tarfile.open(fileobj=io.BytesIO(blob), mode="r:gz") as tar:
+            for m in tar.getmembers():
+                if m.name.endswith(f"{self.mtx_name}.mtx"):
+                    with tar.extractfile(m) as f:
+                        out = osp.join(self.raw_dir, f"{self.mtx_name}.mtx")
+                        with open(out, "wb") as dst:
+                            dst.write(f.read())
 
     def process(self):
         from ..io.mtx import read_mtx
