@@ -1,0 +1,391 @@
+"""Solve layer for the multifrontal QR: Q application and R solves.
+
+Capability match:
+
+* :func:`qmult` — ``QR_qmult`` (``STMMQR/src/qr/SparseQR.c:1838``):
+  apply Qᵀ or Q by replaying the per-front Householder reflectors in
+  tree (level) order.  Reference applies H blocks with LAPACK; here each
+  level bucket applies its reflectors as one batched rank-1-update loop
+  under ``jit`` (``lax.fori_loop`` over the static reflector count).
+* :func:`rsolve` — ``QR_solve``/``qr_rsolve`` (``SparseQR.c:2118,2218``):
+  sparse-R triangular solve, level-batched: each front contributes one
+  dense ``npiv×npiv`` triangular solve plus a ``npiv×(fn−npiv)`` MXU
+  matmul against already-solved ancestor entries.  Dead columns
+  (|diag| ≤ tol) yield x=0, mirroring the reference's ``Rdead`` handling
+  (``SparseQR_factorize.c:1383-`` rank detection).
+* :func:`least_squares` / :func:`lq_min_norm_solve` — the ``qrtest``
+  solve-and-check flow (``test/qrtest.c:11-53``) and ``SparseLQ``
+  (``SparseLQ.c:691``) roles.
+
+Index-array padding convention: every vector gets one trailing dummy row
+and every padded index points at it, so padded lanes gather zeros and
+scatter harmlessly into the dummy row — static shapes, no OOB semantics.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .numeric import QRFactorization, _pad_dim, _pad_len, factorize
+from .symbolic import SymbolicQR
+
+
+# --------------------------------------------------------------------------
+# R solve
+# --------------------------------------------------------------------------
+
+@dataclass
+class _RSolveBucket:
+    t_idx: np.ndarray      # (B, npiv_pad, npiv_pad) pool idx of T, −1 = zero
+    rpa_idx: np.ndarray    # (B, npiv_pad, w_pad)    pool idx of R_PA
+    anc: np.ndarray        # (B, w_pad)    x-slot of ancestor cols (pad → n)
+    piv: np.ndarray        # (B, npiv_pad) x-slot of pivot cols    (pad → n)
+
+
+def _build_rsolve_plan(sym: SymbolicQR) -> List[List[_RSolveBucket]]:
+    n = sym.n
+    levels: List[List[_RSolveBucket]] = []
+    for level_fids in sym.levels:
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for fid in level_fids:
+            f = sym.fronts[fid]
+            key = (_pad_dim(f.npiv), _pad_dim(f.fn - f.npiv))
+            groups.setdefault(key, []).append(fid)
+        buckets = []
+        for (npp, wp), fids in groups.items():
+            B = len(fids)
+            t_idx = np.full((B, npp, npp), -1, np.int64)
+            rpa_idx = np.full((B, npp, wp), -1, np.int64)
+            anc = np.full((B, wp), n, np.int64)
+            piv = np.full((B, npp), n, np.int64)
+            for b, fid in enumerate(fids):
+                f = sym.fronts[fid]
+                w = f.fn - f.npiv
+                r = np.arange(f.npiv)
+                for t in r:
+                    t_idx[b, t, t:f.npiv] = (
+                        f.pool_off + t * f.fn + np.arange(t, f.npiv))
+                rpa_idx[b, :f.npiv, :w] = (
+                    f.pool_off + r[:, None] * f.fn
+                    + (f.npiv + np.arange(w))[None, :])
+                anc[b, :w] = f.cols[f.npiv:]
+                piv[b, :f.npiv] = f.pivots
+            buckets.append(_RSolveBucket(t_idx, rpa_idx, anc, piv))
+        levels.append(buckets)
+    return levels
+
+
+def _rsolve_plan(F: QRFactorization) -> List[List[_RSolveBucket]]:
+    cache = getattr(F.plan, "_rsolve_plan", None)
+    if cache is None:
+        cache = _build_rsolve_plan(F.sym)
+        F.plan._rsolve_plan = cache
+    return cache
+
+
+def _gather_blocks(pool, t_idx, rpa_idx, tol):
+    T = jnp.where(t_idx >= 0, pool[jnp.maximum(t_idx, 0)], 0.0)
+    Rpa = jnp.where(rpa_idx >= 0, pool[jnp.maximum(rpa_idx, 0)], 0.0)
+    d = jnp.diagonal(T, axis1=1, axis2=2)
+    live = jnp.abs(d) > tol                       # dead or padded → False
+    npp = T.shape[1]
+    eye = jnp.eye(npp, dtype=pool.dtype)
+    T_eff = jnp.where(live[:, :, None], T, 0.0) \
+        + eye[None] * (~live)[:, :, None]
+    return T_eff, Rpa, live
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _rsolve_bucket(pool, x, c, t_idx, rpa_idx, anc, piv, tol):
+    """x[piv] = T⁻¹ (c[piv] − R_PA · x[anc]) for one reverse-level bucket."""
+    T_eff, Rpa, live = _gather_blocks(pool, t_idx, rpa_idx, tol)
+    rhs = (c[piv] - Rpa @ x[anc]) * live[..., None]
+    sol = jax.scipy.linalg.solve_triangular(T_eff, rhs, lower=False)
+    return x.at[piv].set(sol)
+
+
+@partial(jax.jit, donate_argnums=(1, 2))
+def _rtsolve_bucket(pool, x, c, t_idx, rpa_idx, anc, piv, tol):
+    """Forward (Rᵀ) variant: y[piv] = T⁻ᵀ c[piv]; push −R_PAᵀ y to ancestors."""
+    T_eff, Rpa, live = _gather_blocks(pool, t_idx, rpa_idx, tol)
+    rhs = c[piv] * live[..., None]
+    sol = jax.scipy.linalg.solve_triangular(
+        T_eff, rhs, lower=False, trans=1)
+    c = c.at[anc].add(-jnp.swapaxes(Rpa, 1, 2) @ sol)
+    return x.at[piv].set(sol), c
+
+
+def rsolve(F: QRFactorization, c, trans: bool = False) -> jnp.ndarray:
+    """Solve ``R x = c`` (or ``Rᵀ x = c`` with ``trans=True``) where both
+    vectors are indexed by *postordered* columns.  ``c``: (n,) or (n, k).
+    Dead columns (rank deficiency) yield 0, as in the reference's
+    R1-skipping solve (``SparseQR.c:2118``)."""
+    sym = F.sym
+    c = jnp.asarray(c, F.pool.dtype if hasattr(F.pool, "dtype")
+                    else np.float64)
+    squeeze = c.ndim == 1
+    if squeeze:
+        c = c[:, None]
+    pool = jnp.asarray(F.pool)
+    cp = jnp.concatenate([c, jnp.zeros((1, c.shape[1]), c.dtype)])
+    x = jnp.zeros_like(cp)
+    plan = _rsolve_plan(F)
+    tol = jnp.asarray(F.tol, cp.dtype)
+    order = plan if trans else list(reversed(plan))
+    for buckets in order:
+        for bk in buckets:
+            args = (pool, x, cp, jnp.asarray(bk.t_idx),
+                    jnp.asarray(bk.rpa_idx), jnp.asarray(bk.anc),
+                    jnp.asarray(bk.piv), tol)
+            if trans:
+                x, cp = _rtsolve_bucket(*args)
+            else:
+                x = _rsolve_bucket(*args)
+    x = x[:-1]
+    return x[:, 0] if squeeze else x
+
+
+# --------------------------------------------------------------------------
+# Q application
+# --------------------------------------------------------------------------
+
+@dataclass
+class _QBucket:
+    batch: int
+    fm_pad: int
+    fn_pad: int
+    src_x_pos: np.ndarray   # v-flat rows fed from X (original A rows)
+    src_x_ids: np.ndarray
+    src_c_pos: np.ndarray   # v-flat rows fed from the carry pool
+    src_c_idx: np.ndarray
+    out_p_pos: np.ndarray   # v-flat pivot rows → out[pivot slot]
+    out_p_slot: np.ndarray
+    out_c_pos: np.ndarray   # v-flat CB rows → carry pool
+    out_c_idx: np.ndarray
+    out_e_pos: np.ndarray   # v-flat extra rows → out[n + extra slot]
+    out_e_slot: np.ndarray
+
+
+@dataclass
+class _QPlan:
+    buckets: List[List[_QBucket]]
+    n_q: int                 # qmult vector length
+    total_carry: int
+    empty_ids: np.ndarray    # A rows with no nonzeros (identity part of Q)
+    empty_slots: np.ndarray
+
+
+def _build_q_plan(F: QRFactorization) -> _QPlan:
+    sym, plan = F.sym, F.plan
+    fronts = sym.fronts
+    carry_off = np.zeros(len(fronts) + 1, np.int64)
+    extra_off = np.zeros(len(fronts) + 1, np.int64)
+    for f in fronts:
+        carry_off[f.fid + 1] = f.cb_rows
+        extra_off[f.fid + 1] = max(0, f.fm - f.npiv - f.cb_rows)
+    carry_off = np.cumsum(carry_off)
+    extra_off = np.cumsum(extra_off)
+    total_carry = int(carry_off[-1])
+    total_extra = int(extra_off[-1])
+
+    row_nnz = np.diff(plan.St.indptr)
+    empty_ids = np.nonzero(row_nnz == 0)[0]
+    n_q = sym.n + total_extra + len(empty_ids)
+    empty_slots = sym.n + total_extra + np.arange(len(empty_ids))
+
+    levels: List[List[_QBucket]] = []
+    for level_buckets in plan.buckets:
+        out_level = []
+        for bk in level_buckets:
+            fm_pad, fn_pad, B = bk.fm_pad, bk.fn_pad, bk.batch
+            sxp, sxi, scp, sci = [], [], [], []
+            opp, ops, ocp, oci, oep, oes = [], [], [], [], [], []
+            for b, fid in enumerate(bk.fids):
+                f = fronts[fid]
+                base = b * fm_pad
+                ns = len(f.srows)
+                sxp.append(base + np.arange(ns))
+                sxi.append(f.srows)
+                row0 = ns
+                for cid in f.children:
+                    c = fronts[cid]
+                    if c.cb_rows:
+                        scp.append(base + row0 + np.arange(c.cb_rows))
+                        sci.append(carry_off[cid] + np.arange(c.cb_rows))
+                    row0 += c.cb_rows
+                opp.append(base + np.arange(f.npiv))
+                ops.append(f.pivots)
+                if f.cb_rows:
+                    ocp.append(base + f.npiv + np.arange(f.cb_rows))
+                    oci.append(carry_off[fid] + np.arange(f.cb_rows))
+                ne = max(0, f.fm - f.npiv - f.cb_rows)
+                if ne:
+                    oep.append(base + f.npiv + f.cb_rows + np.arange(ne))
+                    oes.append(sym.n + extra_off[fid] + np.arange(ne))
+
+            def _pair(pos, idx, pos_oob, idx_oob):
+                p = (np.concatenate(pos) if pos else np.zeros(0, np.int64))
+                i = (np.concatenate(idx) if idx else np.zeros(0, np.int64))
+                pad = _pad_len(len(p)) - len(p)
+                p = np.concatenate([p, np.full(pad, pos_oob, np.int64)])
+                i = np.concatenate([i, np.full(pad, idx_oob, np.int64)])
+                return p, i
+
+            vn = B * fm_pad
+            a, b_ = _pair(sxp, sxi, vn, sym.m)
+            c_, d = _pair(scp, sci, vn, total_carry)
+            e, g = _pair(opp, ops, vn, n_q)
+            h, i_ = _pair(ocp, oci, vn, total_carry)
+            j, k = _pair(oep, oes, vn, n_q)
+            out_level.append(_QBucket(B, fm_pad, fn_pad, a, b_, c_, d,
+                                      e, g, h, i_, j, k))
+        levels.append(out_level)
+    return _QPlan(levels, n_q, total_carry, empty_ids, empty_slots)
+
+
+def _q_plan(F: QRFactorization) -> _QPlan:
+    cache = getattr(F.plan, "_q_plan", None)
+    if cache is None:
+        cache = _build_q_plan(F)
+        F.plan._q_plan = cache
+    return cache
+
+
+@jax.jit
+def _qtx_bucket(Xp, out, carry, Q,
+                src_x_pos, src_x_ids, src_c_pos, src_c_idx,
+                out_p_pos, out_p_slot, out_c_pos, out_c_idx,
+                out_e_pos, out_e_slot):
+    """One level bucket of Qᵀ·x: gather front rows, one batched MXU matmul
+    against the stored per-front orthogonal factors, scatter outputs."""
+    B, fm_pad, _ = Q.shape
+    k = Xp.shape[1]
+    v = jnp.zeros((B * fm_pad + 1, k), Xp.dtype)
+    v = v.at[src_x_pos].set(Xp[src_x_ids])
+    v = v.at[src_c_pos].set(carry[src_c_idx])
+    v = jnp.einsum("bmn,bmk->bnk", Q, v[:-1].reshape(B, fm_pad, k),
+                   preferred_element_type=Xp.dtype)
+    v = jnp.concatenate([v.reshape(B * fm_pad, k),
+                         jnp.zeros((1, k), Xp.dtype)])
+    out = out.at[out_p_slot].set(v[out_p_pos])
+    carry = carry.at[out_c_idx].set(v[out_c_pos])
+    out = out.at[out_e_slot].set(v[out_e_pos])
+    return out, carry
+
+
+@jax.jit
+def _qx_bucket(Yp, xout, carry, Q,
+               src_x_pos, src_x_ids, src_c_pos, src_c_idx,
+               out_p_pos, out_p_slot, out_c_pos, out_c_idx,
+               out_e_pos, out_e_slot):
+    B, fm_pad, _ = Q.shape
+    k = Yp.shape[1]
+    v = jnp.zeros((B * fm_pad + 1, k), Yp.dtype)
+    v = v.at[out_p_pos].set(Yp[out_p_slot])
+    v = v.at[out_c_pos].set(carry[out_c_idx])
+    v = v.at[out_e_pos].set(Yp[out_e_slot])
+    v = jnp.einsum("bmn,bnk->bmk", Q, v[:-1].reshape(B, fm_pad, k),
+                   preferred_element_type=Yp.dtype)
+    v = jnp.concatenate([v.reshape(B * fm_pad, k),
+                         jnp.zeros((1, k), Yp.dtype)])
+    xout = xout.at[src_x_ids].set(v[src_x_pos])
+    carry = carry.at[src_c_idx].set(v[src_c_pos])
+    return xout, carry
+
+
+def qmult(F: QRFactorization, X, kind: str = "QTX") -> jnp.ndarray:
+    """Apply the implicit orthogonal factor (``QR_qmult`` role).
+
+    ``kind="QTX"`` maps A-row space (m) → factorization row space
+    (``n_q = n + extras``); ``kind="QX"`` maps back.  ``X``: (m,) / (m, k)
+    for QTX, (n_q,) / (n_q, k) for QX.  Requires ``factorize(keep_q=True)``.
+    """
+    if not F.keep_q:
+        raise ValueError("qmult requires factorize(..., keep_q=True)")
+    qp = _q_plan(F)
+    X = jnp.asarray(X)
+    squeeze = X.ndim == 1
+    if squeeze:
+        X = X[:, None]
+    k = X.shape[1]
+    dt = X.dtype
+    Xp = jnp.concatenate([X, jnp.zeros((1, k), dt)])
+    carry = jnp.zeros((qp.total_carry + 1, k), dt)
+
+    if kind == "QTX":
+        out = jnp.zeros((qp.n_q + 1, k), dt)
+        if len(qp.empty_ids):
+            out = out.at[qp.empty_slots].set(Xp[qp.empty_ids])
+        for buckets, q_level in zip(qp.buckets, F.q_data):
+            for bk, Q in zip(buckets, q_level):
+                out, carry = _qtx_bucket(
+                    Xp, out, carry, Q,
+                    *[jnp.asarray(a) for a in (
+                        bk.src_x_pos, bk.src_x_ids, bk.src_c_pos,
+                        bk.src_c_idx, bk.out_p_pos, bk.out_p_slot,
+                        bk.out_c_pos, bk.out_c_idx, bk.out_e_pos,
+                        bk.out_e_slot)])
+        out = out[:-1]
+        return out[:, 0] if squeeze else out
+
+    if kind != "QX":
+        raise ValueError("kind must be 'QTX' or 'QX'")
+    xout = jnp.zeros((F.sym.m + 1, k), dt)
+    if len(qp.empty_ids):
+        xout = xout.at[qp.empty_ids].set(Xp[qp.empty_slots])
+    for buckets, q_level in zip(reversed(qp.buckets), reversed(F.q_data)):
+        for bk, Q in zip(buckets, q_level):
+            xout, carry = _qx_bucket(
+                Xp, xout, carry, Q,
+                *[jnp.asarray(a) for a in (
+                    bk.src_x_pos, bk.src_x_ids, bk.src_c_pos,
+                    bk.src_c_idx, bk.out_p_pos, bk.out_p_slot,
+                    bk.out_c_pos, bk.out_c_idx, bk.out_e_pos,
+                    bk.out_e_slot)])
+    xout = xout[:-1]
+    return xout[:, 0] if squeeze else xout
+
+
+# --------------------------------------------------------------------------
+# Drivers
+# --------------------------------------------------------------------------
+
+def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
+                  **fact_kw) -> Tuple[jnp.ndarray, QRFactorization]:
+    """min ‖A x − b‖₂ via Qᵀb then R backsolve — the ``qrtest`` solve flow
+    (``test/qrtest.c:11-53``: ``QR_qmult(QTX)`` + ``QR_solve(RETX)``)."""
+    if F is None:
+        F = factorize(A, keep_q=True, **fact_kw)
+    y = qmult(F, b, "QTX")
+    c = y[:F.sym.n]
+    x_post = rsolve(F, c)
+    x_post = np.asarray(x_post)
+    out = np.empty_like(x_post)
+    out[F.sym.q] = x_post
+    return jnp.asarray(out), F
+
+
+def lq_min_norm_solve(A: sp.spmatrix, b,
+                      **fact_kw) -> Tuple[jnp.ndarray, QRFactorization]:
+    """Minimum-norm solution of an underdetermined ``A x = b`` via LQ —
+    the ``SparseLQ`` role (``SparseLQ.c:691``), realized as QR of Aᵀ:
+    ``A[q_rows, :] = Rᵀ Qᵀ`` ⇒ forward-solve Rᵀ z = b[q_rows], x = Q z."""
+    A = sp.csc_matrix(A)
+    F = factorize(A.T.tocsc(), keep_q=True, **fact_kw)
+    b = jnp.asarray(b)
+    squeeze = b.ndim == 1
+    bb = b[:, None] if squeeze else b
+    bq = bb[np.asarray(F.sym.q)]
+    z = rsolve(F, bq, trans=True)
+    qp = _q_plan(F)
+    y = jnp.zeros((qp.n_q, bb.shape[1]), bb.dtype).at[:F.sym.n].set(z)
+    x = qmult(F, y, "QX")
+    return (x[:, 0] if squeeze else x), F

@@ -1,0 +1,383 @@
+"""Host-side symbolic analysis for multifrontal sparse QR.
+
+Capability match: ``qr_analyze`` (``STMMQR/src/qr/SparseQR_analyze.c``) and
+the ordering dispatch of ``SparseQR`` (``SparseQR.c:891-1016``).  The
+reference partitions the frontal tree into flop-weighted *streaming tasks*
+for a NUMA thread pool; the TPU redesign partitions it into *levels*
+(etree height classes) whose fronts are mutually independent and can be
+factorized as one batched dense QR per padded shape bucket — the form the
+MXU wants.
+
+Everything here is NumPy on host: symbolic analysis is a one-time,
+data-dependent, pointer-chasing workload (exactly what XLA is bad at),
+while its *output* is a static plan of gather/scatter index arrays the
+jitted numeric phase replays with fixed shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+# Ordering codes follow the reference CLI encoding (qrtest.c:157-169).
+ORDER_AMD = 0      # min-degree on the AᵀA graph      (QR_ORDERING_AMD)
+ORDER_COLAMD = 1   # column min-degree on A           (QR_ORDERING_COLAMD)
+ORDER_METIS = 2    # nested dissection on AᵀA         (QR_ORDERING_ONLYMETIS)
+ORDER_NESDIS = 3   # deep ND w/ small MD leaves       (QR_ORDERING_NESDIS)
+ORDER_NATURAL = 4  # identity                         (QR_ORDERING_NATURAL)
+ORDER_GIVEN = 5    # caller-supplied permutation      (QR_ORDERING_GIVEN)
+
+
+def column_etree(A: sp.csc_matrix) -> np.ndarray:
+    """Column elimination tree of AᵀA without forming AᵀA.
+
+    ``parent[j]`` = etree parent of column j (−1 at roots).  Standard
+    path-compression algorithm over row structures (the role of the
+    analysis inside ``SparseChol_analyze_p2(FOR_SPQR, …)``,
+    ``SparseQR_analyze.c:142``).
+    """
+    m, n = A.shape
+    Ap, Ai = A.indptr, A.indices
+    parent = np.full(n, -1, np.int64)
+    ancestor = np.full(n, -1, np.int64)
+    prev_col = np.full(m, -1, np.int64)  # last column seen in each row
+    for k in range(n):
+        for p in range(Ap[k], Ap[k + 1]):
+            i = prev_col[Ai[p]]
+            # climb with path compression
+            while i != -1 and i < k:
+                i_next = ancestor[i]
+                ancestor[i] = k
+                if i_next == -1:
+                    parent[i] = k
+                i = i_next
+            prev_col[Ai[p]] = k
+    return parent
+
+
+def postorder(parent: np.ndarray) -> np.ndarray:
+    """Postorder of an elimination forest (iterative DFS, children in
+    ascending order so sibling order is deterministic)."""
+    n = len(parent)
+    # children adjacency (head/next linked lists, reversed so ascending pop)
+    head = np.full(n, -1, np.int64)
+    nxt = np.full(n, -1, np.int64)
+    for j in range(n - 1, -1, -1):
+        p = parent[j]
+        if p != -1:
+            nxt[j] = head[p]
+            head[p] = j
+    post = np.empty(n, np.int64)
+    k = 0
+    stack = []
+    for root in range(n):
+        if parent[root] != -1:
+            continue
+        stack.append(root)
+        while stack:
+            j = stack[-1]
+            c = head[j]
+            if c == -1:
+                post[k] = j
+                k += 1
+                stack.pop()
+            else:
+                head[j] = nxt[c]
+                stack.append(c)
+    assert k == n
+    return post
+
+
+@dataclass
+class Front:
+    """One supernodal frontal matrix (static symbolic description)."""
+    fid: int
+    pivots: np.ndarray       # postordered column ids, contiguous range
+    cols: np.ndarray         # full column pattern, sorted; cols[:npiv]=pivots
+    srows: np.ndarray        # original A row ids assembled into this front
+    children: List[int] = field(default_factory=list)
+    parent: int = -1
+    level: int = 0
+    fm: int = 0               # true row count (srows + children CB rows)
+    cb_rows: int = 0          # contribution-block rows passed to parent
+    pool_off: int = 0         # offset of this front's fn×fn R_F slot
+
+    @property
+    def npiv(self) -> int:
+        return len(self.pivots)
+
+    @property
+    def fn(self) -> int:
+        return len(self.cols)
+
+
+@dataclass
+class SymbolicQR:
+    """Complete symbolic factorization (the reference's ``QRsym`` role)."""
+    m: int
+    n: int
+    q: np.ndarray                     # column permutation: S = A[:, q]
+    parent: np.ndarray                # per-column etree (postordered labels)
+    fronts: List[Front]
+    levels: List[List[int]]           # front ids per level (leaves first)
+    col_to_front: np.ndarray
+    pool_size: int                    # Σ fn² (flat R_F storage)
+    nnz_R: int
+    flops: float
+    ordering: int
+
+    def unpermute(self, x_post: np.ndarray) -> np.ndarray:
+        """Map a solution vector indexed by postordered columns back to the
+        original column space of A."""
+        out = np.empty_like(x_post)
+        out[self.q] = x_post
+        return out
+
+
+def _ata_graph(A: sp.csc_matrix) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric AᵀA edge list (for the AMD/ND orderings), dense rows
+    capped the way the labeler caps them (``native.label_matrix``)."""
+    coo = A.tocoo()
+    rows, cols = coo.row.astype(np.int64), coo.col.astype(np.int64)
+    m, n = A.shape
+    rdeg = np.bincount(rows, minlength=m)
+    cap = max(16, int(10 * np.sqrt(max(n, 1))))
+    keep = rdeg[rows] <= cap
+    rows, cols = rows[keep], cols[keep]
+    order_r = np.argsort(rows, kind="stable")
+    rows, cols = rows[order_r], cols[order_r]
+    ptr = np.concatenate([[0], np.cumsum(np.bincount(rows, minlength=m))])
+    s_list, d_list = [], []
+    for i in range(m):
+        rc = cols[ptr[i]:ptr[i + 1]]
+        if len(rc) > 1:
+            a = np.repeat(rc, len(rc))
+            b = np.tile(rc, len(rc))
+            mask = a != b
+            s_list.append(a[mask])
+            d_list.append(b[mask])
+    if s_list:
+        return np.concatenate(s_list), np.concatenate(d_list)
+    return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+
+def _fill_reducing_q(A: sp.csc_matrix, ordering: int,
+                     given: Optional[np.ndarray]) -> np.ndarray:
+    """Ordering dispatch — the role of ``SparseQR.c:891-1016``."""
+    n = A.shape[1]
+    if ordering == ORDER_NATURAL:
+        return np.arange(n, dtype=np.int64)
+    if ordering == ORDER_GIVEN:
+        if given is None:
+            raise ValueError("ORDER_GIVEN requires a permutation")
+        q = np.asarray(given, np.int64)
+        if sorted(q.tolist()) != list(range(n)):
+            raise ValueError("given ordering is not a permutation")
+        return q
+    from .. import native
+
+    if not native.native_available():  # pragma: no cover - CI always builds
+        return np.arange(n, dtype=np.int64)
+    if ordering == ORDER_COLAMD:
+        coo = A.tocoo()
+        return native.col_order(coo.row, coo.col, A.shape[0], n).astype(np.int64)
+    method = {ORDER_AMD: native.METHOD_MIN_DEGREE,
+              ORDER_METIS: native.METHOD_NESTED_DISSECTION,
+              ORDER_NESDIS: native.METHOD_NESDIS}[ordering]
+    s, d = _ata_graph(A)
+    return native.order(s, d, n, method).astype(np.int64)
+
+
+def _column_patterns(S: sp.csc_matrix, parent: np.ndarray,
+                     leftmost: np.ndarray) -> List[np.ndarray]:
+    """Per-column R row patterns via the multifrontal union rule:
+    C_j = {j} ∪ cols(rows with leftmost j) ∪ (∪_children C_c \\ {c}).
+
+    Avoids forming AᵀA (whose dense rows the reference also sidesteps via
+    the same frontal-row argument)."""
+    m, n = S.shape
+    # rows grouped by leftmost column (empty rows, leftmost=-1, dropped)
+    valid = leftmost >= 0
+    rows_valid = np.nonzero(valid)[0]
+    order_rows = rows_valid[np.argsort(leftmost[rows_valid], kind="stable")]
+    counts = np.bincount(leftmost[rows_valid], minlength=n)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)])
+
+    St = S.tocsr()
+    Rp, Rj = St.indptr, St.indices
+
+    children: List[List[int]] = [[] for _ in range(n)]
+    for j in range(n):
+        p = parent[j]
+        if p != -1:
+            children[p].append(j)
+
+    patterns: List[np.ndarray] = [None] * n  # type: ignore
+    for j in range(n):  # postordered labels: children precede parents
+        pieces = [np.array([j], np.int64)]
+        for i in order_rows[row_ptr[j]:row_ptr[j + 1]]:
+            pieces.append(Rj[Rp[i]:Rp[i + 1]].astype(np.int64))
+        for c in children[j]:
+            pc = patterns[c]
+            pieces.append(pc[1:])  # drop the child's own pivot
+        patterns[j] = np.unique(np.concatenate(pieces))
+    return patterns, order_rows, row_ptr
+
+
+def analyze(A: sp.spmatrix, ordering: int = ORDER_COLAMD,
+            given: Optional[np.ndarray] = None,
+            nrelax: int = 4, zrelax: float = 0.25) -> SymbolicQR:
+    """Symbolic multifrontal QR analysis of ``A`` (m×n, any scipy format).
+
+    ``nrelax``/``zrelax`` control relaxed supernode amalgamation — small
+    child fronts are merged into their parent when the explicit zeros
+    introduced stay below ``zrelax`` (the role of the reference's
+    ``Relaxfactor_setting`` / nrelax/zrelax knobs,
+    ``SparseCore_common.c:1172``, ``SparseChol_super_symbolic.c:193-360``).
+    """
+    A = sp.csc_matrix(A)
+    A.sum_duplicates()
+    m, n = A.shape
+
+    q0 = _fill_reducing_q(A, ordering, given)
+    S0 = A[:, q0]
+    parent0 = column_etree(S0)
+    post = postorder(parent0)
+    q = q0[post]
+    S = A[:, q].tocsc()
+    # relabeled etree: parent in postordered coordinates
+    inv_post = np.empty(n, np.int64)
+    inv_post[post] = np.arange(n)
+    parent = np.full(n, -1, np.int64)
+    for j in range(n):
+        p = parent0[j]
+        if p != -1:
+            parent[inv_post[j]] = inv_post[p]
+    # postorder property: children have smaller labels than parents
+    assert np.all(parent[parent >= 0] > np.nonzero(parent >= 0)[0])
+
+    St = S.tocsr()
+    leftmost = np.full(m, -1, np.int64)
+    for i in range(m):
+        if St.indptr[i] < St.indptr[i + 1]:
+            leftmost[i] = St.indices[St.indptr[i]]
+
+    patterns, order_rows, row_ptr = _column_patterns(S, parent, leftmost)
+
+    # --- fundamental supernodes -------------------------------------------
+    # col j+1 joins col j's supernode when parent(j)=j+1 and the patterns
+    # telescope (|C_{j+1}| = |C_j| − 1).
+    sn_of = np.empty(n, np.int64)
+    sn_first: List[int] = []
+    for j in range(n):
+        if (j > 0 and parent[j - 1] == j
+                and len(patterns[j]) == len(patterns[j - 1]) - 1):
+            sn_of[j] = sn_of[j - 1]
+        else:
+            sn_of[j] = len(sn_first)
+            sn_first.append(j)
+    nsn = len(sn_first)
+    sn_last = [sn_first[k + 1] - 1 if k + 1 < nsn else n - 1
+               for k in range(nsn)]
+
+    # supernode tree
+    sn_parent = np.full(nsn, -1, np.int64)
+    for k in range(nsn):
+        p = parent[sn_last[k]]
+        if p != -1:
+            sn_parent[k] = sn_of[p]
+
+    # --- relaxed amalgamation (child → parent, bottom-up) ------------------
+    # merge child k into parent p when the child is small (≤ nrelax pivots)
+    # or the explicit-zero fraction of the merged front stays ≤ zrelax.
+    merged_into = np.full(nsn, -1, np.int64)
+
+    def find_live(k: int) -> int:
+        while merged_into[k] != -1:
+            k = merged_into[k]
+        return k
+
+    sn_pivots: List[List[int]] = [list(range(sn_first[k], sn_last[k] + 1))
+                                  for k in range(nsn)]
+    sn_pattern: List[np.ndarray] = [
+        np.unique(np.concatenate([patterns[j] for j in sn_pivots[k]]))
+        for k in range(nsn)]
+
+    for k in range(nsn - 1, -1, -1):
+        p = sn_parent[k]
+        if p == -1:
+            continue
+        p = find_live(p)
+        # only merge chains that keep pivot columns contiguous
+        if sn_pivots[p][0] != sn_pivots[k][-1] + 1:
+            continue
+        merged_cols = np.unique(
+            np.concatenate([sn_pattern[k], sn_pattern[p]]))
+        npiv_new = len(sn_pivots[k]) + len(sn_pivots[p])
+        nz_real = sum(len(patterns[j]) for j in sn_pivots[k] + sn_pivots[p])
+        # R rows of the merged supernode span its full pattern width
+        nz_merged = sum(len(merged_cols) - i for i in range(npiv_new))
+        zeros_frac = 1.0 - nz_real / max(nz_merged, 1)
+        if len(sn_pivots[k]) <= nrelax or zeros_frac <= zrelax:
+            sn_pivots[p] = sn_pivots[k] + sn_pivots[p]
+            sn_pattern[p] = merged_cols
+            merged_into[k] = p
+
+    live = [k for k in range(nsn) if merged_into[k] == -1]
+    fid_of = {k: i for i, k in enumerate(live)}
+
+    fronts: List[Front] = []
+    col_to_front = np.empty(n, np.int64)
+    for i, k in enumerate(live):
+        piv = np.asarray(sn_pivots[k], np.int64)
+        cols = sn_pattern[k]
+        assert np.array_equal(cols[:len(piv)], piv), \
+            "front pattern must start with its pivot columns"
+        fronts.append(Front(fid=i, pivots=piv, cols=cols,
+                            srows=np.zeros(0, np.int64)))
+        col_to_front[piv] = i
+
+    for i, k in enumerate(live):
+        # parent of a (possibly merged) front = the live front containing
+        # the etree parent of its last pivot column
+        last_piv = fronts[i].pivots[-1]
+        pp = parent[last_piv]
+        fronts[i].parent = -1 if pp == -1 else int(col_to_front[pp])
+        if fronts[i].parent == i:  # can happen only on bugs
+            raise AssertionError("front cannot parent itself")
+    for f in fronts:
+        if f.parent != -1:
+            fronts[f.parent].children.append(f.fid)
+
+    # S rows per front (by leftmost pivot)
+    for f in fronts:
+        rs = [order_rows[row_ptr[j]:row_ptr[j + 1]] for j in f.pivots]
+        f.srows = np.concatenate(rs) if rs else np.zeros(0, np.int64)
+
+    # levels (leaves first), true row counts, CB rows, pool offsets
+    nnz_R = 0
+    flops = 0.0
+    pool_off = 0
+    order_f = sorted(range(len(fronts)),
+                     key=lambda i: fronts[i].pivots[0])  # postorder of fronts
+    for i in order_f:
+        f = fronts[i]
+        f.level = 1 + max((fronts[c].level for c in f.children), default=-1)
+        f.fm = len(f.srows) + sum(fronts[c].cb_rows for c in f.children)
+        f.cb_rows = max(0, min(f.fm, f.fn) - f.npiv)
+        f.pool_off = pool_off
+        pool_off += f.fn * f.fn
+        nnz_R += sum(f.fn - t for t in range(min(f.npiv, f.fm)))
+        fm_eff = max(f.fm, f.fn)
+        flops += 2.0 * f.fn * f.fn * (fm_eff - f.fn / 3.0)
+    max_level = max((f.level for f in fronts), default=-1)
+    levels = [[] for _ in range(max_level + 1)]
+    for f in fronts:
+        levels[f.level].append(f.fid)
+
+    return SymbolicQR(m=m, n=n, q=q, parent=parent, fronts=fronts,
+                      levels=levels, col_to_front=col_to_front,
+                      pool_size=pool_off, nnz_R=nnz_R, flops=flops,
+                      ordering=ordering)
