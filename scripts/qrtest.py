@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""End-to-end sparse QR driver — parity with the reference's ``qrtest``
+(``STMMQR/test/qrtest.c:65-217``) plus the integration the reference never
+shipped: the top README admits GCN and STM-MQR are "not actually
+integrated" (``README.md:42``) — here ``ordering=gcn`` runs the trained
+reordering classifier *in-process* and feeds its prediction straight into
+the factorization.
+
+Flow (matching the C driver):
+  1. read the MatrixMarket file; optionally emit the GCN feature tables
+     (``--write-graph``, the ``-Dwrite_graph`` role,
+     ``SparseCore_read_write.c:1040-1190``);
+  2. pick the ordering: 0=AMD 1=COLAMD 2=METIS 3=NESDIS (CLI encoding of
+     ``qrtest.c:157-169``) or ``gcn`` (classifier-selected);
+  3. tol = 20(m+n)·eps·max‖A_j‖₂ (``qrtest.c:135-142``);
+  4. symbolic analysis + numeric factorization (timed separately, the
+     ``-DPRINT_TIME`` role, ``SparseQR.c:339-356``);
+  5. solve-and-check: B = A·X, X̂ = R⁻¹ QᵀB, report ‖X̂−X‖₂/n
+     (``check_error``, ``qrtest.c:11-53``);
+  6. append ``id, analyze, factorize, total, residual`` to
+     ``Results/QR_Time.txt`` (``qrtest.c:128,189-201``).
+"""
+import argparse
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+import scipy.sparse as sp
+
+ORDERING_NAMES = {0: "AMD", 1: "COLAMD", 2: "METIS", 3: "NESDIS"}
+
+
+def predict_ordering(path, ckpt, hidden, readout):
+    """Run the reordering classifier on the matrix's structure graph."""
+    import jax
+    import jax.numpy as jnp
+    import flax.serialization
+
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.data import (
+        batch_graphs, pad_to_bucket)
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.datasets.classorder import (
+        _graph_from_features)
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.features import (
+        features_from_mtx)
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.models.reorder_classifier import (
+        ReorderClassifier)
+
+    gf = features_from_mtx(path)
+    g = _graph_from_features(0, gf, gf.extinfo, None)
+    g = pad_to_bucket(batch_graphs([g]), num_graphs=2)
+    model = ReorderClassifier(hidden=hidden, readout=readout)
+    params = model.init(jax.random.PRNGKey(0), g)
+    with open(ckpt, "rb") as f:
+        state = flax.serialization.from_bytes({"params": params}, f.read())
+    t0 = time.time()
+    out = model.apply(state["params"], g, train=False)
+    pred = int(jnp.argmax(out[0]))
+    return pred, time.time() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("matrix", help="MatrixMarket .mtx path")
+    ap.add_argument("graph_id", type=int, nargs="?", default=0)
+    ap.add_argument("ordering", nargs="?", default="1",
+                    help="0=AMD 1=COLAMD 2=METIS 3=NESDIS | gcn")
+    ap.add_argument("--ckpt", default="models_ckpt/graphmodel_best.msgpack")
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--readout", default="meanmax", choices=["max", "meanmax"])
+    ap.add_argument("--write-graph", action="store_true",
+                    help="emit QR_Node/QR_Edge/QR_extinfo feature tables "
+                         "and skip factorization (the -Dwrite_graph mode)")
+    ap.add_argument("--results-dir", default="Results")
+    ap.add_argument("--nrhs", type=int, default=1)
+    ap.add_argument("--refine", type=int, default=2,
+                    help="iterative-refinement passes on the f32 solve")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64"])
+    ap.add_argument("--platform", default=None, choices=[None, "cpu"])
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        # f64 fronts need x64 (CPU path; the TPU MXU path is f32+refinement)
+        jax.config.update("jax_enable_x64", True)
+
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu import sparseqr
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.features import (
+        edge_table, features_from_mtx, node_feature_table, extinfo_row)
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.mtx import (
+        read_mtx, to_csr)
+
+    os.makedirs(args.results_dir, exist_ok=True)
+
+    if args.write_graph:
+        gf = features_from_mtx(args.matrix)
+        gid = args.graph_id
+        with open(osp.join(args.results_dir, "QR_Node.txt"), "a") as f:
+            np.savetxt(f, node_feature_table(gf, gid), fmt="%d")
+        with open(osp.join(args.results_dir, "QR_Edge.txt"), "a") as f:
+            np.savetxt(f, edge_table(gf, gid), fmt="%d")
+        with open(osp.join(args.results_dir, "QR_extinfo.txt"), "a") as f:
+            np.savetxt(f, extinfo_row(gf, gid)[None, :], fmt="%.6g")
+        print(f"wrote feature tables for graph {gid} to {args.results_dir}/")
+        return
+
+    if args.ordering == "gcn":
+        ordering, t_gcn = predict_ordering(args.matrix, args.ckpt,
+                                           args.hidden, args.readout)
+        print(f"GCN-selected ordering: {ordering} "
+              f"({ORDERING_NAMES[ordering]}), inference {t_gcn:.4f}s")
+    else:
+        ordering = int(args.ordering)
+
+    t = read_mtx(args.matrix)
+    A = sp.csc_matrix(to_csr(t)).astype(np.float64)
+    m, n = A.shape
+    print(f"{osp.basename(args.matrix)}: {m}x{n}, nnz={A.nnz}, "
+          f"ordering={ORDERING_NAMES.get(ordering, ordering)}")
+
+    t0 = time.time()
+    sym = sparseqr.analyze(A, ordering)
+    t_ana = time.time() - t0
+    nlevels = len(sym.levels)
+    print(f"analyze: {t_ana:.4f}s  fronts={len(sym.fronts)} levels={nlevels} "
+          f"nnz(R)={sym.nnz_R} flops={sym.flops:.3g}")
+
+    import jax.numpy as jnp
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    t0 = time.time()
+    F = sparseqr.factorize(A, sym=sym, keep_q=True, dtype=dtype)
+    np.asarray(F.pool)  # block until the device work is done
+    t_fac = time.time() - t0
+    print(f"factorize: {t_fac:.4f}s  rank={F.rank}/{n}  tol={F.tol:.3g}")
+
+    # solve-and-check (check_error, qrtest.c:11-53): B = A·X for known X
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(n, args.nrhs))
+    B = (A @ X).astype(np.float32)
+    t0 = time.time()
+    refine = 0 if args.dtype == "float64" else args.refine
+    Xh, _ = sparseqr.least_squares(A, B, F=F, refine=refine)
+    t_solve = time.time() - t0
+    res = float(np.linalg.norm(np.asarray(Xh) - X) / n)
+    total = t_ana + t_fac
+    print(f"solve: {t_solve:.4f}s  ‖X̂−X‖/n = {res:.3e}")
+
+    with open(osp.join(args.results_dir, "QR_Time.txt"), "a") as f:
+        f.write(f"{args.graph_id} {t_ana:.6f} {t_fac:.6f} {total:.6f} "
+                f"{res:.6e}\n")
+    print(f"appended to {args.results_dir}/QR_Time.txt")
+
+
+if __name__ == "__main__":
+    main()

@@ -171,9 +171,18 @@ def build_plan(sym: SymbolicQR, S: sp.csc_matrix) -> QRPlan:
 def default_tol(m: int, n: int, maxcolnorm: float,
                 dtype=np.float32) -> float:
     """Reference rank-detection tolerance: ``tol = 20(m+n)·eps·max‖A_j‖₂``
-    (``qrtest.c:135-142`` / ``SparseQR.c:1402``)."""
-    eps = float(np.finfo(dtype).eps)
-    return 20.0 * (m + n) * eps * maxcolnorm
+    (``qrtest.c:135-142`` / ``SparseQR.c:1402``).
+
+    The reference always computes in float64, so ``eps`` there is eps₆₄.
+    For the f32 MXU path we keep the reference formula (eps₆₄) with a
+    float32-roundoff floor instead of scaling the whole formula by eps₃₂ —
+    ``20(m+n)·eps₃₂`` would mark legitimate pivots dead for n ≳ 10³
+    (observed on epb1: 234 live columns killed)."""
+    eps64 = float(np.finfo(np.float64).eps)
+    tol = 20.0 * (m + n) * eps64
+    if np.dtype(dtype) == np.float32:
+        tol = max(tol, 128.0 * float(np.finfo(np.float32).eps))
+    return tol * maxcolnorm
 
 
 @dataclass

@@ -358,19 +358,40 @@ def qmult(F: QRFactorization, X, kind: str = "QTX") -> jnp.ndarray:
 # Drivers
 # --------------------------------------------------------------------------
 
-def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
-                  **fact_kw) -> Tuple[jnp.ndarray, QRFactorization]:
-    """min ‖A x − b‖₂ via Qᵀb then R backsolve — the ``qrtest`` solve flow
-    (``test/qrtest.c:11-53``: ``QR_qmult(QTX)`` + ``QR_solve(RETX)``)."""
-    if F is None:
-        F = factorize(A, keep_q=True, **fact_kw)
+def _qr_solve_once(F: QRFactorization, b) -> np.ndarray:
     y = qmult(F, b, "QTX")
-    c = y[:F.sym.n]
-    x_post = rsolve(F, c)
-    x_post = np.asarray(x_post)
+    x_post = np.asarray(rsolve(F, y[:F.sym.n]))
     out = np.empty_like(x_post)
     out[F.sym.q] = x_post
-    return jnp.asarray(out), F
+    return out
+
+
+def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
+                  refine: int = 0,
+                  **fact_kw) -> Tuple[jnp.ndarray, QRFactorization]:
+    """min ‖A x − b‖₂ via Qᵀb then R backsolve — the ``qrtest`` solve flow
+    (``test/qrtest.c:11-53``: ``QR_qmult(QTX)`` + ``QR_solve(RETX)``).
+
+    ``refine`` > 0 adds iterative-refinement passes with the residual
+    accumulated in float64 on host: the TPU-native answer to the
+    reference's float64 fronts — the f32 MXU factorization is reused as a
+    preconditioner-exact solver and each pass multiplies the accuracy by
+    ~κ·eps₃₂ until it hits the f64 floor."""
+    if F is None:
+        F = factorize(A, keep_q=True, **fact_kw)
+    x = _qr_solve_once(F, b)
+    if refine:
+        A64 = sp.csc_matrix(A).astype(np.float64)
+        b64 = np.asarray(b, np.float64)
+        for _ in range(refine):
+            # least-squares refinement: minimize over the correction d of
+            # ‖A d − r‖ with r = b − A x (exact normal-equation residual
+            # direction comes free from reusing the same QR)
+            r = b64 - A64 @ np.asarray(x, np.float64)
+            d = _qr_solve_once(F, r.astype(np.float32))
+            x = np.asarray(x, np.float64) + np.asarray(d, np.float64)
+        return x, F  # keep the float64 accumulation (jnp would downcast)
+    return jnp.asarray(x), F
 
 
 def lq_min_norm_solve(A: sp.spmatrix, b,

@@ -175,3 +175,21 @@ def test_real_matrix_solve_residual():
 def _native():
     from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu import native
     return native.native_available()
+
+
+def test_iterative_refinement_lifts_f32():
+    """f32 factorization + float64-residual refinement — the TPU-native
+    answer to the reference's float64 fronts (MXU is f32)."""
+    A = _random_sparse(300, 300, 0.02, 31)
+    # widen the dynamic range so plain f32 visibly lags
+    A = A @ sp.diags(np.logspace(0, 3, 300))
+    rng = np.random.default_rng(5)
+    x_true = rng.normal(size=300)
+    b = (A @ x_true).astype(np.float32)
+    x0, F = least_squares(A, b)
+    x2, _ = least_squares(A, b, F=F, refine=3)
+    e0 = np.linalg.norm(np.asarray(x0, np.float64) - x_true)
+    e2 = np.linalg.norm(np.asarray(x2) - x_true)
+    assert e2 < e0 / 10
+    # floor: b itself is f32-quantized, so κ·eps₃₂ bounds the best case
+    assert e2 / np.linalg.norm(x_true) < 2e-4
