@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Multifrontal QR benchmark over the reference's shipped matrices.
+
+The reference's performance witness is ``Results/QR_Time.txt`` rows
+(analyze / factorize / total per matrix, ``qrtest.c:189-201``) and the
+STM-MQR.xlsx sweep.  Here: steady-state (warm-jit) factorization time and
+effective GFLOP/s per matrix on the default JAX backend (TPU under axon,
+CPU with ``--platform cpu``).
+
+Usage: python benchmark/qr_bench.py [--platform cpu] [--repeats 5]
+       [--ordering 0..3] [--matrices dwt_992 epb1 ...]
+"""
+import argparse
+import glob
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu"])
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--ordering", type=int, default=0)
+    ap.add_argument("--matrices", nargs="*", default=None)
+    ap.add_argument("--dir", default="data/matrices")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu import sparseqr
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.mtx import (
+        read_mtx, to_csr)
+
+    paths = sorted(glob.glob(osp.join(args.dir, "*.mtx")))
+    if args.matrices:
+        paths = [p for p in paths
+                 if osp.splitext(osp.basename(p))[0] in args.matrices]
+
+    dev = jax.devices()[0].platform
+    print(f"backend={dev}  ordering={args.ordering}  repeats={args.repeats}")
+    print(f"{'matrix':<18}{'m×n':<14}{'nnz':>8}{'fronts':>7}{'lvls':>5}"
+          f"{'ana(s)':>8}{'fac(ms)':>9}{'GF/s':>7}{'res/n':>10}")
+
+    for path in paths:
+        name = osp.splitext(osp.basename(path))[0]
+        try:
+            A = sp.csc_matrix(to_csr(read_mtx(path))).astype(np.float64)
+        except Exception as e:
+            print(f"{name:<18} read failed: {e}")
+            continue
+        m, n = A.shape
+        t0 = time.time()
+        sym = sparseqr.analyze(A, args.ordering)
+        t_ana = time.time() - t0
+        # warm (compile + plan build)
+        F = sparseqr.factorize(A, sym=sym)
+        np.asarray(F.pool)
+
+        # steady state: chain-differenced timing (the axon tunnel costs a
+        # flat ~20 ms per host sync, so single-shot timing is RTT-bound) —
+        # run k chained factorizations inside one jit, difference two
+        # chain lengths.
+        import jax.numpy as jnp
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.sparseqr.numeric import (
+            _make_fused_run, ell_values)
+        plan = sym._plan
+        run = _make_fused_run(plan.buckets, False)
+        sdata0 = jnp.asarray(ell_values(plan), jnp.float32)
+        pool0 = jnp.zeros(plan.pool_size, jnp.float32)
+
+        def chain(k):
+            @jax.jit
+            def impl(sdata):
+                acc = jnp.zeros((), jnp.float32)
+                for i in range(k):
+                    # data dependence on acc defeats CSE across iterations
+                    pool, _ = run(pool0, sdata + acc * 1e-30)
+                    acc = acc + pool[0]
+                return acc
+            return impl
+
+        k_s, k_l = 2, 2 + max(2, args.repeats)
+        c_s, c_l = chain(k_s), chain(k_l)
+        for c in (c_s, c_l):
+            c(sdata0).block_until_ready()
+        ts = [0.0] * 5
+        tl = [0.0] * 5
+        for i in range(5):
+            t0 = time.time(); c_s(sdata0).block_until_ready()
+            ts[i] = time.time() - t0
+            t0 = time.time(); c_l(sdata0).block_until_ready()
+            tl[i] = time.time() - t0
+        t_fac = max(min(tl) - min(ts), 1e-9) / (k_l - k_s)
+        gfs = sym.flops / t_fac / 1e9
+        # solve-and-check (the reference's correctness witness): relative
+        # residual ‖Ax−b‖/‖b‖ is meaningful even at detected rank
+        # deficiency (where forward error is unbounded); keep the better of
+        # the plain and refined solves.
+        rng = np.random.default_rng(0)
+        x_true = rng.normal(size=n)
+        b = (A @ x_true).astype(np.float32)
+
+        def relres(x):
+            x = np.asarray(x, np.float64)
+            r = np.linalg.norm(A @ x - b) / max(np.linalg.norm(b), 1e-300)
+            return r if np.isfinite(r) else np.inf
+
+        x0, _ = sparseqr.least_squares(A, b, F=F, method="seminormal")
+        res = relres(x0)
+        if F.rank == n:
+            x1, _ = sparseqr.least_squares(A, b, F=F, method="seminormal",
+                                           refine=2)
+            res = min(res, relres(x1))
+        print(f"{name:<18}{f'{m}x{n}':<14}{A.nnz:>8}{len(sym.fronts):>7}"
+              f"{len(sym.levels):>5}{t_ana:>8.3f}{t_fac*1e3:>9.2f}"
+              f"{gfs:>7.1f}{res:>10.1e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,13 +10,17 @@ stacking** — every front row comes from exactly one source (an original S
 row or one child-CB row), there are no extend-add collisions.  So:
 
 * the symbolic phase emits, per etree level and per padded shape bucket,
-  *static* gather/scatter index arrays;
-* the numeric phase is, per bucket, one fused ``gather → batched geqrf →
-  scatter`` step under ``jit`` — the batched Householder QR runs on the
-  MXU, and XLA overlaps the index traffic with compute;
+  a *static* row-granular movement plan (scalar scatters serialize and
+  scalar gathers crawl on TPU — everything moves as ≥64-wide rows,
+  contiguous slices, or fused one-hot contractions; see
+  :func:`build_plan`);
+* the numeric phase fuses the whole schedule into ONE jitted program
+  (``_make_fused_run``) — batched Householder QR per bucket on the MXU,
+  single device dispatch per factorization;
 * all contribution blocks live inside a single flat ``pool`` array (each
-  front owns an ``fn×fn`` R_F slot), the TPU analog of the reference's
-  per-task NUMA stacks (``SparseQR_factorize.c:405-425``).
+  front owns an ``fn_pad×fn_pad`` slot in its bucket's contiguous slab),
+  the TPU analog of the reference's per-task NUMA stacks
+  (``SparseQR_factorize.c:405-425``).
 
 A NumPy float64 per-front oracle (`factorize_numpy`) doubles as the
 correctness reference and the serial fallback (the role of the reference's
@@ -60,15 +64,23 @@ class Bucket:
     fids: List[int]
     fm_pad: int
     fn_pad: int
-    # assembly: S entries (gather from row-major CSR data of S)
-    s_gather: np.ndarray = field(default=None)   # into St.data
-    s_scatter: np.ndarray = field(default=None)  # into (B*fm_pad*fn_pad,)
-    # assembly: child contribution blocks (gather from the R_F pool)
-    cb_gather: np.ndarray = field(default=None)
-    cb_scatter: np.ndarray = field(default=None)
-    # extraction: R_F upper triangle → pool
-    rf_gather: np.ndarray = field(default=None)  # into (B*fm_pad*fn_pad,)
-    rf_scatter: np.ndarray = field(default=None)  # into pool
+    # ---- S-row assembly (row-granular; scalar gathers/scatters serialize
+    # on TPU): this bucket's S rows are the contiguous slice
+    # [ell_start, ell_start+ell_count) of the ELL value table, expanded to
+    # front columns by a fused one-hot contraction over ell_lc, then
+    # row-scattered to dst row ids.
+    ell_start: int = 0
+    ell_count: int = 0
+    ell_lc: np.ndarray = field(default=None)     # (count, K) local col | −1
+    s_dst: np.ndarray = field(default=None)      # (count,) rows in B·fm_pad
+    # ---- child-CB assembly, grouped by the child's bucket: row-gather
+    # from that bucket's contiguous pool slab, one-hot column alignment,
+    # row-scatter.  Each group: (slab_base, slab_rows, slab_width,
+    # src_rows, colmap, dst_rows).
+    cb_groups: List[Tuple] = field(default_factory=list)
+    # slice-based R packing: this bucket's fronts own a contiguous padded
+    # pool region [pool_base, pool_base + B·fn_pad²).
+    pool_base: int = 0
 
     @property
     def batch(self) -> int:
@@ -78,94 +90,139 @@ class Bucket:
 @dataclass
 class QRPlan:
     sym: SymbolicQR
-    St: sp.csr_matrix                 # row-major S (values gathered from .data)
+    St: sp.csr_matrix                 # row-major S (assembly-ordered rows)
     buckets: List[List[Bucket]]       # per level
     diag_idx: np.ndarray              # pool indices of R's diagonal (n,)
     maxcolnorm: float
+    pool_size: int = 0                # padded pool (fn_pad² per front)
+    ell_K: int = 0                    # ELL width (max nnz per used S row)
+    ell_perm: np.ndarray = None       # (total_srows, K) → St.data | −1
 
 
 def build_plan(sym: SymbolicQR, S: sp.csc_matrix) -> QRPlan:
+    """Lower the symbolic factorization to a static, row-granular plan.
+
+    TPU rules encoded here (measured on v5e):
+    * scalar scatters serialize and scalar gathers run ~80 M elem/s — so
+      every data movement is row-granular (row gather ~10 GB/s, row
+      scatter likewise) or a dynamic slice;
+    * column alignment (child CB cols → parent front cols, S row cols →
+      front cols) is a fused one-hot contraction ``einsum('rk,rkf->rf')``
+      — XLA fuses the one-hot into the reduction, no materialization;
+    * pool layout is bucket-contiguous and padded (fn_pad² per front), so
+      packing a bucket's R_F is ONE ``dynamic_update_slice`` and a child
+      bucket's slab reshapes to (B·fn_pad, fn_pad) for row gathers.
+    """
     St = S.tocsr()
     St.sum_duplicates()
     Rp, Rj = St.indptr, St.indices
     fronts = sym.fronts
-    idx_t = np.int64 if sym.pool_size > 2**31 - 2 else np.int32
 
+    # ---- pass 1: buckets + padded pool offsets ---------------------------
     buckets: List[List[Bucket]] = []
+    pool_total = 0
     for level_fids in sym.levels:
         groups: Dict[Tuple[int, int], Bucket] = {}
         for fid in level_fids:
             f = fronts[fid]
             key = (_pad_dim(max(f.fm, f.fn)), _pad_dim(f.fn))
             groups.setdefault(key, Bucket([], *key)).fids.append(fid)
-        level_buckets = []
-        for bucket in groups.values():
-            fm_pad, fn_pad = bucket.fm_pad, bucket.fn_pad
-            fsz = fm_pad * fn_pad
-            s_g, s_s, cb_g, cb_s, rf_g, rf_s = [], [], [], [], [], []
+        level_buckets = list(groups.values())
+        for bucket in level_buckets:
+            bucket.pool_base = pool_total
             for b, fid in enumerate(bucket.fids):
                 f = fronts[fid]
-                base = b * fsz
-                # --- original S rows (stacked first) --------------------
+                f.pool_off = pool_total + b * bucket.fn_pad * bucket.fn_pad
+                f.fn_stride = bucket.fn_pad
+            pool_total += bucket.batch * bucket.fn_pad * bucket.fn_pad
+        buckets.append(level_buckets)
+
+    bucket_of = {}
+    for lv in buckets:
+        for bk in lv:
+            for fid in bk.fids:
+                bucket_of[fid] = bk
+
+    # ---- pass 2: assembly-ordered ELL table for S rows --------------------
+    row_nnz = np.diff(Rp)
+    K = int(row_nnz.max(initial=1))
+    order = []     # S row ids in assembly order
+    for lv in buckets:
+        for bk in lv:
+            bk.ell_start = len(order)
+            for fid in bk.fids:
+                order.extend(fronts[fid].srows.tolist())
+            bk.ell_count = len(order) - bk.ell_start
+    total_srows = len(order)
+    ell_perm = np.full((total_srows, K), -1, np.int64)
+    for pos, i in enumerate(order):
+        lo, hi = Rp[i], Rp[i + 1]
+        ell_perm[pos, :hi - lo] = np.arange(lo, hi)
+
+    # ---- pass 3: per-bucket local-column maps and destination rows --------
+    for lv in buckets:
+        for bk in lv:
+            fm_pad, fn_pad = bk.fm_pad, bk.fn_pad
+            lc_tab = np.full((bk.ell_count, K), -1, np.int32)
+            s_dst = np.zeros(bk.ell_count, np.int32)
+            pos = 0
+            cb_by_src: Dict[int, List] = {}
+            for b, fid in enumerate(bk.fids):
+                f = fronts[fid]
                 for lr, i in enumerate(f.srows):
                     lo, hi = Rp[i], Rp[i + 1]
-                    lc = np.searchsorted(f.cols, Rj[lo:hi])
-                    s_g.append(np.arange(lo, hi, dtype=np.int64))
-                    s_s.append(base + lr * fn_pad + lc)
-                # --- children contribution blocks -----------------------
+                    lc_tab[pos, :hi - lo] = np.searchsorted(
+                        f.cols, Rj[lo:hi]).astype(np.int32)
+                    s_dst[pos] = b * fm_pad + lr
+                    pos += 1
                 row0 = len(f.srows)
                 for cid in f.children:
                     c = fronts[cid]
                     if c.cb_rows > 0:
+                        sb = bucket_of[cid]
                         w = c.fn - c.npiv
                         lc = np.searchsorted(f.cols, c.cols[c.npiv:])
-                        rr = np.arange(c.cb_rows, dtype=np.int64)
-                        src = (c.pool_off
-                               + (c.npiv + rr)[:, None] * c.fn
-                               + (c.npiv + np.arange(w, dtype=np.int64))[None, :])
-                        dst = base + (row0 + rr)[:, None] * fn_pad + lc[None, :]
-                        cb_g.append(src.ravel())
-                        cb_s.append(dst.ravel())
+                        cm = np.full((c.cb_rows, sb.fn_pad), -1, np.int32)
+                        cm[:, c.npiv:c.fn] = lc[None, :]
+                        cb = c.cb_rows
+                        slot_row0 = ((c.pool_off - sb.pool_base)
+                                     // sb.fn_pad + c.npiv)
+                        src_rows = slot_row0 + np.arange(cb)
+                        dst_rows = b * fm_pad + row0 + np.arange(cb)
+                        cb_by_src.setdefault(id(sb), [sb, [], [], []])
+                        ent = cb_by_src[id(sb)]
+                        ent[1].append(src_rows)
+                        ent[2].append(cm)
+                        ent[3].append(dst_rows)
                     row0 += c.cb_rows
-                # --- R_F upper triangle extraction -----------------------
-                r, cmat = np.meshgrid(np.arange(f.fn, dtype=np.int64),
-                                      np.arange(f.fn, dtype=np.int64),
-                                      indexing="ij")
-                ut = cmat >= r
-                rf_g.append(base + r[ut] * fn_pad + cmat[ut])
-                rf_s.append(f.pool_off + (r[ut] * f.fn + cmat[ut]))
+            bk.ell_lc = lc_tab
+            bk.s_dst = s_dst
+            bk.cb_groups = []
+            for sb, srcs, cms, dsts in cb_by_src.values():
+                bk.cb_groups.append((
+                    sb.pool_base, sb.batch * sb.fn_pad, sb.fn_pad,
+                    np.concatenate(srcs).astype(np.int32),
+                    np.concatenate(cms).astype(np.int32),
+                    np.concatenate(dsts).astype(np.int32)))
 
-            def _cat_pad(chunks, oob):
-                a = (np.concatenate(chunks) if chunks
-                     else np.zeros(0, np.int64))
-                pad = _pad_len(len(a)) - len(a)
-                return np.concatenate([a, np.full(pad, oob, np.int64)])
-
-            buf_size = bucket.batch * fsz
-            sg = _cat_pad(s_g, 0)
-            ss = _cat_pad(s_s, buf_size)          # OOB scatter → dropped
-            cg = _cat_pad(cb_g, 0)
-            cs = _cat_pad(cb_s, buf_size)
-            rg = _cat_pad(rf_g, 0)
-            rs = _cat_pad(rf_s, sym.pool_size)
-            bucket.s_gather = sg.astype(np.int64)
-            bucket.s_scatter = ss.astype(np.int64)
-            bucket.cb_gather = cg.astype(idx_t)
-            bucket.cb_scatter = cs.astype(np.int64)
-            bucket.rf_gather = rg.astype(np.int64)
-            bucket.rf_scatter = rs.astype(idx_t)
-            level_buckets.append(bucket)
-        buckets.append(level_buckets)
-
-    diag_idx = np.zeros(sym.n, idx_t)
+    diag_idx = np.zeros(sym.n, np.int64)
     for f in fronts:
         t = np.arange(f.npiv, dtype=np.int64)
-        diag_idx[f.pivots] = f.pool_off + t * f.fn + t
+        diag_idx[f.pivots] = f.pool_off + t * f.fn_stride + t
 
     colnorms = np.sqrt(np.asarray(
         S.multiply(S).sum(axis=0)).ravel()) if S.nnz else np.zeros(1)
     return QRPlan(sym=sym, St=St, buckets=buckets, diag_idx=diag_idx,
-                  maxcolnorm=float(colnorms.max(initial=0.0)))
+                  maxcolnorm=float(colnorms.max(initial=0.0)),
+                  pool_size=pool_total, ell_K=K, ell_perm=ell_perm)
+
+
+def ell_values(plan: QRPlan, St: Optional[sp.csr_matrix] = None) -> np.ndarray:
+    """Assembly-ordered ELL value table (host-side; numpy fancy indexing)."""
+    data = (plan.St if St is None else St).data
+    perm = plan.ell_perm
+    out = np.where(perm >= 0, data[np.maximum(perm, 0)], 0.0)
+    return np.ascontiguousarray(out)
 
 
 def default_tol(m: int, n: int, maxcolnorm: float,
@@ -215,7 +272,7 @@ class QRFactorization:
                 width = f.fn - t
                 rows.append(np.full(width, f.pivots[t], np.int64))
                 cols.append(f.cols[t:])
-                off = f.pool_off + t * f.fn + t
+                off = f.pool_off + t * f.fn_stride + t
                 vals.append(pool[off:off + width])
         n = self.sym.n
         if not rows:
@@ -237,9 +294,12 @@ def factorize_numpy(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
     if sym is None:
         sym = analyze(A, ordering)
     S = A[:, sym.q].tocsc()
-    plan = build_plan(sym, S)
+    plan = getattr(sym, "_plan", None)
+    if plan is None:
+        plan = build_plan(sym, S)
+        sym._plan = plan
     St = plan.St
-    pool = np.zeros(sym.pool_size, np.float64)
+    pool = np.zeros(plan.pool_size, np.float64)
     for f in sym.fronts:  # ascending fid = postorder (children first)
         fm_eff = max(f.fm, f.fn)
         F = np.zeros((fm_eff, f.fn))
@@ -251,14 +311,16 @@ def factorize_numpy(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
         for cid in f.children:
             c = sym.fronts[cid]
             if c.cb_rows > 0:
-                cRf = pool[c.pool_off:c.pool_off + c.fn * c.fn].reshape(
-                    c.fn, c.fn)
+                cRf = pool[c.pool_off:c.pool_off
+                           + c.fn * c.fn_stride].reshape(c.fn, c.fn_stride)
                 lc = np.searchsorted(f.cols, c.cols[c.npiv:])
                 F[row0:row0 + c.cb_rows, lc] = cRf[
-                    c.npiv:c.npiv + c.cb_rows, c.npiv:]
+                    c.npiv:c.npiv + c.cb_rows, c.npiv:c.fn]
             row0 += c.cb_rows
         Rf = np.linalg.qr(F, mode="r")  # (fn, fn) since fm_eff ≥ fn
-        pool[f.pool_off:f.pool_off + f.fn * f.fn] = np.triu(Rf).ravel()
+        slot = pool[f.pool_off:f.pool_off + f.fn * f.fn_stride].reshape(
+            f.fn, f.fn_stride)
+        slot[:, :f.fn] = np.triu(Rf)
     diag = pool[np.asarray(plan.diag_idx, np.int64)]
     t = default_tol(sym.m, sym.n, plan.maxcolnorm, np.float64) \
         if tol is None else tol
@@ -275,47 +337,102 @@ except Exception:  # pragma: no cover
     _geqrf = None
 
 
-def _assemble(batch, fm_pad, fn_pad, pool, sdata, s_g, s_s, cb_g, cb_s):
-    """Front assembly = pure row stacking: scatter S entries and child-CB
-    entries into the padded bucket buffer.  OOB semantics do the padding
-    work (scatter index == size → dropped)."""
-    fsz = batch * fm_pad * fn_pad
-    buf = jnp.zeros(fsz, pool.dtype)
-    buf = buf.at[s_s].set(sdata[s_g], mode="drop")
-    buf = buf.at[cb_s].set(pool[cb_g], mode="drop")
-    return buf.reshape(batch, fm_pad, fn_pad)
+def _expand_rows(vals, lc, width: int, chunk: int = 4096):
+    """Column alignment: out[r, f] = Σ_k vals[r, k]·(lc[r, k] == f).
+    XLA fuses the one-hot into the contraction (no materialization); the
+    static chunking bounds the fused loop footprint."""
+    outs = []
+    n = vals.shape[0]
+    for i in range(0, n, chunk):
+        v = vals[i:min(i + chunk, n)]
+        o = jax.nn.one_hot(lc[i:min(i + chunk, n)], width, dtype=v.dtype)
+        outs.append(jnp.einsum("rk,rkf->rf", v, o))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
-def _pack_r(pool, Rflat, fm_pad, fn_pad, rf_g, rf_s):
-    """Scatter the upper triangle of each front's R into its pool slot.
-    ``rf_g`` encodes (b, r, c) in full-buffer layout; mask the strict lower
-    part (the geqrf path stores Householder vectors there)."""
-    rvals = Rflat[rf_g]
-    rmask = (rf_g % (fm_pad * fn_pad)) // fn_pad <= (rf_g % fn_pad)
-    return pool.at[rf_s].set(jnp.where(rmask, rvals, 0), mode="drop")
+def _assemble(meta, arrays, pool, vals_ell):
+    """Front assembly = pure row stacking: slice the bucket's S rows from
+    the assembly-ordered ELL table, align columns, row-scatter; then per
+    child bucket, row-gather CB rows from its contiguous pool slab, align
+    columns, row-scatter.  All movement is row-granular.
+
+    ``meta`` holds the static shape info; ``arrays`` the index arrays as
+    *runtime arguments* (baking them in as constants inflates the HLO past
+    the axon tunnel's upload limit)."""
+    (B, fm_pad, fn_pad, pool_base, ell_start, ell_count, groups_meta) = meta
+    (ell_lc, s_dst, group_arrays) = arrays
+    buf = jnp.zeros((B * fm_pad, fn_pad), pool.dtype)
+    if ell_count:
+        sv = jax.lax.slice_in_dim(vals_ell, ell_start,
+                                  ell_start + ell_count, axis=0)
+        buf = buf.at[s_dst].set(_expand_rows(sv, ell_lc, fn_pad))
+    for (base, slab_rows, slab_w), (src, cm, dst) in zip(
+            groups_meta, group_arrays):
+        slab = jax.lax.slice_in_dim(
+            pool, base, base + slab_rows * slab_w).reshape(slab_rows, slab_w)
+        buf = buf.at[dst].set(_expand_rows(slab[src], cm, fn_pad))
+    return buf.reshape(B, fm_pad, fn_pad)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
-def _bucket_step_r(batch: int, fm_pad: int, fn_pad: int,
-                   pool, sdata, s_g, s_s, cb_g, cb_s, rf_g, rf_s):
-    """R-only level-bucket: assemble → batched Householder QR → pack R_F."""
-    F = _assemble(batch, fm_pad, fn_pad, pool, sdata, s_g, s_s, cb_g, cb_s)
+def _pack_r(pool, R, fn_pad, pool_base):
+    """Write a whole bucket's R_F block (upper triangles of the first
+    fn_pad rows) into its contiguous pool region — one dynamic slice."""
+    block = jnp.triu(R[:, :fn_pad, :]).reshape(-1)
+    return jax.lax.dynamic_update_slice(pool, block, (pool_base,))
+
+
+def _factor_bucket(F, keep_q: bool):
+    if keep_q:
+        Q, R = jax.lax.linalg.qr(F, full_matrices=True)
+        return Q, R
     if _geqrf is not None:
-        fact, _ = _geqrf(F)
+        R, _ = _geqrf(F)
     else:
-        _, fact = jax.lax.linalg.qr(F, full_matrices=True)
-    return _pack_r(pool, fact.reshape(-1), fm_pad, fn_pad, rf_g, rf_s)
+        _, R = jax.lax.linalg.qr(F, full_matrices=True)
+    return None, R
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
-def _bucket_step_q(batch: int, fm_pad: int, fn_pad: int,
-                   pool, sdata, s_g, s_s, cb_g, cb_s, rf_g, rf_s):
-    """keep_q variant: also materializes each front's full orthogonal Q
-    (fm_pad×fm_pad) so ``qmult`` is batched MXU matmuls."""
-    F = _assemble(batch, fm_pad, fn_pad, pool, sdata, s_g, s_s, cb_g, cb_s)
-    Q, R = jax.lax.linalg.qr(F, full_matrices=True)
-    pool = _pack_r(pool, R.reshape(-1), fm_pad, fn_pad, rf_g, rf_s)
-    return pool, Q
+def _bucket_meta(bk: Bucket):
+    return (bk.batch, bk.fm_pad, bk.fn_pad, bk.pool_base,
+            bk.ell_start, bk.ell_count,
+            tuple((base, rows, w) for (base, rows, w, _, _, _)
+                  in bk.cb_groups))
+
+
+def _bucket_arrays(bk: Bucket):
+    return (jnp.asarray(bk.ell_lc), jnp.asarray(bk.s_dst),
+            tuple((jnp.asarray(src), jnp.asarray(cm), jnp.asarray(dst))
+                  for (_, _, _, src, cm, dst) in bk.cb_groups))
+
+
+def _make_fused_run(levels: List[List[Bucket]], keep_q: bool):
+    """Fuse a level schedule into ONE jitted program (single device
+    dispatch — essential under the axon tunnel, where each dispatch pays an
+    RTT; also lets XLA overlap independent buckets).  Shape info is static;
+    the index arrays travel as runtime arguments (device-resident after the
+    first call) because constant-folding them inflates the serialized HLO
+    past the tunnel's upload limit.  The compiled fn is cached on the
+    symbolic object and reused for every re-factorization of the pattern."""
+    metas = [[_bucket_meta(bk) for bk in level] for level in levels]
+    arrays = tuple(tuple(_bucket_arrays(bk) for bk in level)
+                   for level in levels)
+
+    @partial(jax.jit, static_argnums=())
+    def _run(pool, vals_ell, arrs):
+        qs = []
+        for level_meta, level_arr in zip(metas, arrs):
+            for bm, ba in zip(level_meta, level_arr):
+                F = _assemble(bm, ba, pool, vals_ell)
+                Q, R = _factor_bucket(F, keep_q)
+                if keep_q:
+                    qs.append(Q)
+                pool = _pack_r(pool, R, bm[2], bm[3])
+        return pool, qs
+
+    def run(pool, vals_ell):
+        return _run(pool, vals_ell, arrays)
+
+    return run
 
 
 def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
@@ -331,24 +448,42 @@ def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
     if sym is None:
         sym = analyze(A, ordering)
     S = A[:, sym.q].tocsc()
-    plan = build_plan(sym, S)
-    pool = jnp.zeros(sym.pool_size, dtype)
-    sdata = jnp.asarray(plan.St.data, dtype)
-    q_data: Optional[List[List[Tuple]]] = [] if keep_q else None
-    for level_buckets in plan.buckets:
-        level_q = []
-        for bk in level_buckets:
-            args = (bk.batch, bk.fm_pad, bk.fn_pad, pool, sdata,
-                    jnp.asarray(bk.s_gather), jnp.asarray(bk.s_scatter),
-                    jnp.asarray(bk.cb_gather), jnp.asarray(bk.cb_scatter),
-                    jnp.asarray(bk.rf_gather), jnp.asarray(bk.rf_scatter))
-            if keep_q:
-                pool, Q = _bucket_step_q(*args)
-                level_q.append(Q)
-            else:
-                pool = _bucket_step_r(*args)
+    # plan index arrays depend only on the structure — cache on the symbolic
+    # object so repeated factorizations (new values, same pattern) skip the
+    # host-side plan build (the reference's analyze-once/factorize-many split)
+    plan = getattr(sym, "_plan", None)
+    if plan is None:
+        plan = build_plan(sym, S)
+        sym._plan = plan
+    pool = jnp.zeros(plan.pool_size, dtype)
+    Stv = S.tocsr()
+    Stv.sum_duplicates()  # canonical order must match the plan's St
+    vals = jnp.asarray(ell_values(plan, Stv), dtype)
+    q_data: Optional[List[List]] = [] if keep_q else None
+    n_buckets = sum(len(lv) for lv in plan.buckets)
+    cache = getattr(sym, "_fused", None) or {}
+    if n_buckets <= 256:
+        # one fused program per (pattern, keep_q): single dispatch
+        run = cache.get(keep_q)
+        if run is None:
+            run = _make_fused_run(plan.buckets, keep_q)
+            cache[keep_q] = run
+            sym._fused = cache
+        pool, qs = run(pool, vals)
         if keep_q:
-            q_data.append(level_q)
+            it = iter(qs)
+            q_data = [[next(it) for _ in lv] for lv in plan.buckets]
+    else:
+        # very deep/wide plans: per-level programs bound compile time
+        runs = cache.get(("perlevel", keep_q))
+        if runs is None:
+            runs = [_make_fused_run([lv], keep_q) for lv in plan.buckets]
+            cache[("perlevel", keep_q)] = runs
+            sym._fused = cache
+        for lv, run in zip(plan.buckets, runs):
+            pool, qs = run(pool, vals)
+            if keep_q:
+                q_data.append(list(qs))
     diag = np.asarray(pool)[np.asarray(plan.diag_idx, np.int64)]
     t = default_tol(sym.m, sym.n, plan.maxcolnorm,
                     np.dtype(dtype)) if tol is None else tol

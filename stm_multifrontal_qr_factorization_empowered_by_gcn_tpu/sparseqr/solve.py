@@ -72,9 +72,9 @@ def _build_rsolve_plan(sym: SymbolicQR) -> List[List[_RSolveBucket]]:
                 r = np.arange(f.npiv)
                 for t in r:
                     t_idx[b, t, t:f.npiv] = (
-                        f.pool_off + t * f.fn + np.arange(t, f.npiv))
+                        f.pool_off + t * f.fn_stride + np.arange(t, f.npiv))
                 rpa_idx[b, :f.npiv, :w] = (
-                    f.pool_off + r[:, None] * f.fn
+                    f.pool_off + r[:, None] * f.fn_stride
                     + (f.npiv + np.arange(w))[None, :])
                 anc[b, :w] = f.cols[f.npiv:]
                 piv[b, :f.npiv] = f.pivots
@@ -366,29 +366,58 @@ def _qr_solve_once(F: QRFactorization, b) -> np.ndarray:
     return out
 
 
+def _seminormal_solve_once(F: QRFactorization, A64: sp.csc_matrix,
+                           b) -> np.ndarray:
+    """Q-less solve via the (corrected) seminormal equations:
+    RᵀR x = Aᵀb.  Needs only R — no stored Q — so it is the memory-light
+    path for large problems (same trade SuiteSparseQR makes; pair with
+    ``refine`` for backward stability)."""
+    b64 = np.asarray(b, np.float64)
+    atb = (A64.T @ b64)[np.asarray(F.sym.q)]
+    y = rsolve(F, jnp.asarray(atb, np.float32
+                              if np.dtype(F.dtype) == np.float32
+                              else np.float64), trans=True)
+    x_post = np.asarray(rsolve(F, y))
+    out = np.empty_like(x_post)
+    out[F.sym.q] = x_post
+    return out
+
+
 def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
-                  refine: int = 0,
+                  refine: int = 0, method: str = "qmult",
                   **fact_kw) -> Tuple[jnp.ndarray, QRFactorization]:
-    """min ‖A x − b‖₂ via Qᵀb then R backsolve — the ``qrtest`` solve flow
+    """min ‖A x − b‖₂ — the ``qrtest`` solve flow
     (``test/qrtest.c:11-53``: ``QR_qmult(QTX)`` + ``QR_solve(RETX)``).
+
+    ``method="qmult"`` applies the stored Q (requires
+    ``factorize(keep_q=True)``); ``method="seminormal"`` solves
+    RᵀR x = Aᵀb from a Q-less factorization — much lighter in memory, and
+    with ``refine ≥ 1`` equally accurate (corrected seminormal equations).
 
     ``refine`` > 0 adds iterative-refinement passes with the residual
     accumulated in float64 on host: the TPU-native answer to the
     reference's float64 fronts — the f32 MXU factorization is reused as a
     preconditioner-exact solver and each pass multiplies the accuracy by
     ~κ·eps₃₂ until it hits the f64 floor."""
+    A64 = sp.csc_matrix(A).astype(np.float64)
     if F is None:
-        F = factorize(A, keep_q=True, **fact_kw)
-    x = _qr_solve_once(F, b)
+        F = factorize(A, keep_q=(method == "qmult"), **fact_kw)
+    if method == "seminormal":
+        x = _seminormal_solve_once(F, A64, b)
+    elif method == "qmult":
+        x = _qr_solve_once(F, b)
+    else:
+        raise ValueError("method must be 'qmult' or 'seminormal'")
     if refine:
-        A64 = sp.csc_matrix(A).astype(np.float64)
         b64 = np.asarray(b, np.float64)
         for _ in range(refine):
             # least-squares refinement: minimize over the correction d of
-            # ‖A d − r‖ with r = b − A x (exact normal-equation residual
-            # direction comes free from reusing the same QR)
+            # ‖A d − r‖ with r = b − A x (reuses the same factorization)
             r = b64 - A64 @ np.asarray(x, np.float64)
-            d = _qr_solve_once(F, r.astype(np.float32))
+            if method == "seminormal":
+                d = _seminormal_solve_once(F, A64, r)
+            else:
+                d = _qr_solve_once(F, r.astype(np.float32))
             x = np.asarray(x, np.float64) + np.asarray(d, np.float64)
         return x, F  # keep the float64 accumulation (jnp would downcast)
     return jnp.asarray(x), F

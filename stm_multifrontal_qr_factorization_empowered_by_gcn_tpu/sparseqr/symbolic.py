@@ -102,7 +102,8 @@ class Front:
     level: int = 0
     fm: int = 0               # true row count (srows + children CB rows)
     cb_rows: int = 0          # contribution-block rows passed to parent
-    pool_off: int = 0         # offset of this front's fn×fn R_F slot
+    pool_off: int = 0         # offset of this front's R_F slot (set by plan)
+    fn_stride: int = 0        # row stride of the slot = bucket fn_pad
 
     @property
     def npiv(self) -> int:

@@ -193,3 +193,15 @@ def test_iterative_refinement_lifts_f32():
     assert e2 < e0 / 10
     # floor: b itself is f32-quantized, so κ·eps₃₂ bounds the best case
     assert e2 / np.linalg.norm(x_true) < 2e-4
+
+
+def test_seminormal_qless_solve():
+    """Q-less corrected-seminormal path matches the qmult path (and dense
+    lstsq) without storing any Q — the memory-light large-scale route."""
+    A = _random_sparse(120, 80, 0.06, 37)
+    rng = np.random.default_rng(6)
+    b = rng.normal(size=120).astype(np.float32)
+    x_sn, F = least_squares(A, b, method="seminormal", refine=2)
+    assert not F.keep_q  # genuinely Q-less
+    x_ref = np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
+    assert np.allclose(np.asarray(x_sn), x_ref, atol=1e-4)
