@@ -78,11 +78,12 @@ def main():
 
         def chain(k):
             @jax.jit
-            def impl(sdata):
+            def impl(sdata, arrs):
                 acc = jnp.zeros((), jnp.float32)
                 for i in range(k):
-                    # data dependence on acc defeats CSE across iterations
-                    pool, _ = run(pool0, sdata + acc * 1e-30)
+                    # data dependence on acc defeats CSE across iterations;
+                    # index arrays ride as args (constants re-inflate HLO)
+                    pool, _ = run.raw(pool0, sdata + acc * 1e-30, arrs)
                     acc = acc + pool[0]
                 return acc
             return impl
@@ -90,13 +91,13 @@ def main():
         k_s, k_l = 2, 2 + max(2, args.repeats)
         c_s, c_l = chain(k_s), chain(k_l)
         for c in (c_s, c_l):
-            c(sdata0).block_until_ready()
+            c(sdata0, run.arrays).block_until_ready()
         ts = [0.0] * 5
         tl = [0.0] * 5
         for i in range(5):
-            t0 = time.time(); c_s(sdata0).block_until_ready()
+            t0 = time.time(); c_s(sdata0, run.arrays).block_until_ready()
             ts[i] = time.time() - t0
-            t0 = time.time(); c_l(sdata0).block_until_ready()
+            t0 = time.time(); c_l(sdata0, run.arrays).block_until_ready()
             tl[i] = time.time() - t0
         t_fac = max(min(tl) - min(ts), 1e-9) / (k_l - k_s)
         gfs = sym.flops / t_fac / 1e9

@@ -122,7 +122,10 @@ class CorrectAndSmooth(nn.Module):
 
     def correct(self, y_soft, y_true, train_mask, graph, **kw):
         err = jnp.where(train_mask[:, None], y_true - y_soft, 0)
-        prop = LabelPropagation(self.num_correction_layers, self.correction_alpha)
+        # parent=None: C&S is parameter-free and usable unbound; without it
+        # flax tries to register the child in a scope that doesn't exist
+        prop = LabelPropagation(self.num_correction_layers,
+                                self.correction_alpha, parent=None)
         err = prop(err, graph, post_step=lambda e: e, **kw)
         if self.autoscale:
             sigma = jnp.sum(jnp.abs(err) * train_mask[:, None]) / jnp.maximum(
@@ -136,7 +139,8 @@ class CorrectAndSmooth(nn.Module):
 
     def smooth(self, y_soft, y_true, train_mask, graph, **kw):
         y = jnp.where(train_mask[:, None], y_true, y_soft)
-        prop = LabelPropagation(self.num_smoothing_layers, self.smoothing_alpha)
+        prop = LabelPropagation(self.num_smoothing_layers,
+                                self.smoothing_alpha, parent=None)
         return prop(y, graph, **kw)
 
 

@@ -182,27 +182,33 @@ def build_plan(sym: SymbolicQR, S: sp.csc_matrix) -> QRPlan:
                         sb = bucket_of[cid]
                         w = c.fn - c.npiv
                         lc = np.searchsorted(f.cols, c.cols[c.npiv:])
-                        cm = np.full((c.cb_rows, sb.fn_pad), -1, np.int32)
-                        cm[:, c.npiv:c.fn] = lc[None, :]
+                        # one compact column map per CHILD (every CB row of a
+                        # child shares it) — materializing it per row blew
+                        # past 2 GB of indices on fill-heavy matrices
+                        cm = np.full(sb.fn_pad, -1, np.int32)
+                        cm[c.npiv:c.fn] = lc
                         cb = c.cb_rows
                         slot_row0 = ((c.pool_off - sb.pool_base)
                                      // sb.fn_pad + c.npiv)
                         src_rows = slot_row0 + np.arange(cb)
                         dst_rows = b * fm_pad + row0 + np.arange(cb)
-                        cb_by_src.setdefault(id(sb), [sb, [], [], []])
+                        cb_by_src.setdefault(id(sb), [sb, [], [], [], []])
                         ent = cb_by_src[id(sb)]
+                        child_no = len(ent[3])
                         ent[1].append(src_rows)
-                        ent[2].append(cm)
-                        ent[3].append(dst_rows)
+                        ent[2].append(np.full(cb, child_no, np.int32))
+                        ent[3].append(cm)
+                        ent[4].append(dst_rows)
                     row0 += c.cb_rows
             bk.ell_lc = lc_tab
             bk.s_dst = s_dst
             bk.cb_groups = []
-            for sb, srcs, cms, dsts in cb_by_src.values():
+            for sb, srcs, r2c, cms, dsts in cb_by_src.values():
                 bk.cb_groups.append((
                     sb.pool_base, sb.batch * sb.fn_pad, sb.fn_pad,
                     np.concatenate(srcs).astype(np.int32),
-                    np.concatenate(cms).astype(np.int32),
+                    np.concatenate(r2c).astype(np.int32),
+                    np.stack(cms).astype(np.int32),
                     np.concatenate(dsts).astype(np.int32)))
 
     diag_idx = np.zeros(sym.n, np.int64)
@@ -366,10 +372,11 @@ def _assemble(meta, arrays, pool, vals_ell):
         sv = jax.lax.slice_in_dim(vals_ell, ell_start,
                                   ell_start + ell_count, axis=0)
         buf = buf.at[s_dst].set(_expand_rows(sv, ell_lc, fn_pad))
-    for (base, slab_rows, slab_w), (src, cm, dst) in zip(
+    for (base, slab_rows, slab_w), (src, r2c, cm_compact, dst) in zip(
             groups_meta, group_arrays):
         slab = jax.lax.slice_in_dim(
             pool, base, base + slab_rows * slab_w).reshape(slab_rows, slab_w)
+        cm = cm_compact[r2c]  # per-row column maps from per-child compact rows
         buf = buf.at[dst].set(_expand_rows(slab[src], cm, fn_pad))
     return buf.reshape(B, fm_pad, fn_pad)
 
@@ -395,14 +402,15 @@ def _factor_bucket(F, keep_q: bool):
 def _bucket_meta(bk: Bucket):
     return (bk.batch, bk.fm_pad, bk.fn_pad, bk.pool_base,
             bk.ell_start, bk.ell_count,
-            tuple((base, rows, w) for (base, rows, w, _, _, _)
+            tuple((base, rows, w) for (base, rows, w, *_)
                   in bk.cb_groups))
 
 
 def _bucket_arrays(bk: Bucket):
     return (jnp.asarray(bk.ell_lc), jnp.asarray(bk.s_dst),
-            tuple((jnp.asarray(src), jnp.asarray(cm), jnp.asarray(dst))
-                  for (_, _, _, src, cm, dst) in bk.cb_groups))
+            tuple((jnp.asarray(src), jnp.asarray(r2c), jnp.asarray(cm),
+                   jnp.asarray(dst))
+                  for (_, _, _, src, r2c, cm, dst) in bk.cb_groups))
 
 
 def _make_fused_run(levels: List[List[Bucket]], keep_q: bool):
@@ -432,6 +440,11 @@ def _make_fused_run(levels: List[List[Bucket]], keep_q: bool):
     def run(pool, vals_ell):
         return _run(pool, vals_ell, arrays)
 
+    # expose the raw jitted fn + array pytree so callers embedding the run
+    # in a larger jit (e.g. chained benchmarking) can thread the index
+    # arrays as arguments — capturing them as constants re-inflates the HLO
+    run.raw = _run
+    run.arrays = arrays
     return run
 
 
