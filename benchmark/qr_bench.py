@@ -26,9 +26,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument("--ordering", type=int, default=0)
+    ap.add_argument("--ordering", default="0",
+                    help="0-3, or 'best' = min-flops of the four")
     ap.add_argument("--matrices", nargs="*", default=None)
     ap.add_argument("--dir", default="data/matrices")
+    ap.add_argument("--max-flops", type=float, default=1e12,
+                    help="skip factorizations above this flop count "
+                         "(a single >TFLOP front can trip the tunnel "
+                         "watchdog)")
     args = ap.parse_args()
 
     import jax
@@ -58,11 +63,24 @@ def main():
             continue
         m, n = A.shape
         t0 = time.time()
-        sym = sparseqr.analyze(A, args.ordering)
+        if args.ordering == "best":
+            syms = [sparseqr.analyze(A, k) for k in range(4)]
+            sym = min(syms, key=lambda s: s.flops)
+        else:
+            sym = sparseqr.analyze(A, int(args.ordering))
         t_ana = time.time() - t0
+        if sym.flops > args.max_flops:
+            print(f"{name:<18}{f'{m}x{n}':<14}{A.nnz:>8}  skipped "
+                  f"(flops {sym.flops:.2e} > --max-flops)")
+            continue
         # warm (compile + plan build)
-        F = sparseqr.factorize(A, sym=sym)
-        np.asarray(F.pool)
+        try:
+            F = sparseqr.factorize(A, sym=sym)
+            np.asarray(F.pool)
+        except Exception as e:
+            print(f"{name:<18}{f'{m}x{n}':<14}{A.nnz:>8}  factorize failed: "
+                  f"{type(e).__name__}")
+            continue
 
         # steady state: chain-differenced timing (the axon tunnel costs a
         # flat ~20 ms per host sync, so single-shot timing is RTT-bound) —

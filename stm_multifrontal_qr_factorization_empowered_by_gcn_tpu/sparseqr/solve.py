@@ -103,8 +103,7 @@ def _gather_blocks(pool, t_idx, rpa_idx, tol):
     return T_eff, Rpa, live
 
 
-@partial(jax.jit, donate_argnums=(1,))
-def _rsolve_bucket(pool, x, c, t_idx, rpa_idx, anc, piv, tol):
+def _rsolve_body(pool, x, c, t_idx, rpa_idx, anc, piv, tol):
     """x[piv] = T⁻¹ (c[piv] − R_PA · x[anc]) for one reverse-level bucket."""
     T_eff, Rpa, live = _gather_blocks(pool, t_idx, rpa_idx, tol)
     rhs = (c[piv] - Rpa @ x[anc]) * live[..., None]
@@ -112,8 +111,7 @@ def _rsolve_bucket(pool, x, c, t_idx, rpa_idx, anc, piv, tol):
     return x.at[piv].set(sol)
 
 
-@partial(jax.jit, donate_argnums=(1, 2))
-def _rtsolve_bucket(pool, x, c, t_idx, rpa_idx, anc, piv, tol):
+def _rtsolve_body(pool, x, c, t_idx, rpa_idx, anc, piv, tol):
     """Forward (Rᵀ) variant: y[piv] = T⁻ᵀ c[piv]; push −R_PAᵀ y to ancestors."""
     T_eff, Rpa, live = _gather_blocks(pool, t_idx, rpa_idx, tol)
     rhs = c[piv] * live[..., None]
@@ -123,12 +121,35 @@ def _rtsolve_bucket(pool, x, c, t_idx, rpa_idx, anc, piv, tol):
     return x.at[piv].set(sol), c
 
 
+def _make_rsolve_run(plan: List[List[_RSolveBucket]], trans: bool):
+    """Whole backsolve as ONE jitted program (single dispatch under the
+    tunnel); index arrays ride as arguments, like the factorize run."""
+    order = plan if trans else list(reversed(plan))
+    arrays = tuple(tuple((jnp.asarray(bk.t_idx), jnp.asarray(bk.rpa_idx),
+                          jnp.asarray(bk.anc), jnp.asarray(bk.piv))
+                         for bk in level) for level in order)
+
+    @jax.jit
+    def _run(pool, cp, tol, arrs):
+        x = jnp.zeros_like(cp)
+        for level in arrs:
+            for (t_idx, rpa_idx, anc, piv) in level:
+                if trans:
+                    x, cp = _rtsolve_body(pool, x, cp, t_idx, rpa_idx,
+                                          anc, piv, tol)
+                else:
+                    x = _rsolve_body(pool, x, cp, t_idx, rpa_idx,
+                                     anc, piv, tol)
+        return x
+
+    return lambda pool, cp, tol: _run(pool, cp, tol, arrays)
+
+
 def rsolve(F: QRFactorization, c, trans: bool = False) -> jnp.ndarray:
     """Solve ``R x = c`` (or ``Rᵀ x = c`` with ``trans=True``) where both
     vectors are indexed by *postordered* columns.  ``c``: (n,) or (n, k).
     Dead columns (rank deficiency) yield 0, as in the reference's
     R1-skipping solve (``SparseQR.c:2118``)."""
-    sym = F.sym
     c = jnp.asarray(c, F.pool.dtype if hasattr(F.pool, "dtype")
                     else np.float64)
     squeeze = c.ndim == 1
@@ -136,20 +157,14 @@ def rsolve(F: QRFactorization, c, trans: bool = False) -> jnp.ndarray:
         c = c[:, None]
     pool = jnp.asarray(F.pool)
     cp = jnp.concatenate([c, jnp.zeros((1, c.shape[1]), c.dtype)])
-    x = jnp.zeros_like(cp)
     plan = _rsolve_plan(F)
-    tol = jnp.asarray(F.tol, cp.dtype)
-    order = plan if trans else list(reversed(plan))
-    for buckets in order:
-        for bk in buckets:
-            args = (pool, x, cp, jnp.asarray(bk.t_idx),
-                    jnp.asarray(bk.rpa_idx), jnp.asarray(bk.anc),
-                    jnp.asarray(bk.piv), tol)
-            if trans:
-                x, cp = _rtsolve_bucket(*args)
-            else:
-                x = _rsolve_bucket(*args)
-    x = x[:-1]
+    cache = getattr(F.plan, "_rsolve_runs", None) or {}
+    run = cache.get(trans)
+    if run is None:
+        run = _make_rsolve_run(plan, trans)
+        cache[trans] = run
+        F.plan._rsolve_runs = cache
+    x = run(pool, cp, jnp.asarray(F.tol, cp.dtype))[:-1]
     return x[:, 0] if squeeze else x
 
 
@@ -259,7 +274,6 @@ def _q_plan(F: QRFactorization) -> _QPlan:
     return cache
 
 
-@jax.jit
 def _qtx_bucket(Xp, out, carry, Q,
                 src_x_pos, src_x_ids, src_c_pos, src_c_idx,
                 out_p_pos, out_p_slot, out_c_pos, out_c_idx,
@@ -281,7 +295,6 @@ def _qtx_bucket(Xp, out, carry, Q,
     return out, carry
 
 
-@jax.jit
 def _qx_bucket(Yp, xout, carry, Q,
                src_x_pos, src_x_ids, src_c_pos, src_c_idx,
                out_p_pos, out_p_slot, out_c_pos, out_c_idx,
@@ -301,6 +314,50 @@ def _qx_bucket(Yp, xout, carry, Q,
     return xout, carry
 
 
+def _qbucket_arrays(bk: _QBucket):
+    return tuple(jnp.asarray(a) for a in (
+        bk.src_x_pos, bk.src_x_ids, bk.src_c_pos, bk.src_c_idx,
+        bk.out_p_pos, bk.out_p_slot, bk.out_c_pos, bk.out_c_idx,
+        bk.out_e_pos, bk.out_e_slot))
+
+
+def _make_q_run(qp: _QPlan, kind: str, m: int):
+    """Whole Q application fused into one jitted program; index arrays and
+    the stored Q factors ride as arguments."""
+    idx = tuple(tuple(_qbucket_arrays(bk) for bk in level)
+                for level in qp.buckets)
+    empty_ids = jnp.asarray(qp.empty_ids)
+    empty_slots = jnp.asarray(qp.empty_slots)
+    has_empty = len(qp.empty_ids) > 0
+
+    @jax.jit
+    def _run_qtx(Xp, qdata, arrs):
+        k = Xp.shape[1]
+        carry = jnp.zeros((qp.total_carry + 1, k), Xp.dtype)
+        out = jnp.zeros((qp.n_q + 1, k), Xp.dtype)
+        if has_empty:
+            out = out.at[empty_slots].set(Xp[empty_ids])
+        for level_arr, q_level in zip(arrs, qdata):
+            for ba, Q in zip(level_arr, q_level):
+                out, carry = _qtx_bucket(Xp, out, carry, Q, *ba)
+        return out
+
+    @jax.jit
+    def _run_qx(Yp, qdata, arrs):
+        k = Yp.shape[1]
+        carry = jnp.zeros((qp.total_carry + 1, k), Yp.dtype)
+        xout = jnp.zeros((m + 1, k), Yp.dtype)
+        if has_empty:
+            xout = xout.at[empty_ids].set(Yp[empty_slots])
+        for level_arr, q_level in zip(reversed(arrs), reversed(qdata)):
+            for ba, Q in zip(level_arr, q_level):
+                xout, carry = _qx_bucket(Yp, xout, carry, Q, *ba)
+        return xout
+
+    run = _run_qtx if kind == "QTX" else _run_qx
+    return lambda Xp, qdata: run(Xp, tuple(map(tuple, qdata)), idx)
+
+
 def qmult(F: QRFactorization, X, kind: str = "QTX") -> jnp.ndarray:
     """Apply the implicit orthogonal factor (``QR_qmult`` role).
 
@@ -310,48 +367,22 @@ def qmult(F: QRFactorization, X, kind: str = "QTX") -> jnp.ndarray:
     """
     if not F.keep_q:
         raise ValueError("qmult requires factorize(..., keep_q=True)")
+    if kind not in ("QTX", "QX"):
+        raise ValueError("kind must be 'QTX' or 'QX'")
     qp = _q_plan(F)
     X = jnp.asarray(X)
     squeeze = X.ndim == 1
     if squeeze:
         X = X[:, None]
-    k = X.shape[1]
-    dt = X.dtype
-    Xp = jnp.concatenate([X, jnp.zeros((1, k), dt)])
-    carry = jnp.zeros((qp.total_carry + 1, k), dt)
-
-    if kind == "QTX":
-        out = jnp.zeros((qp.n_q + 1, k), dt)
-        if len(qp.empty_ids):
-            out = out.at[qp.empty_slots].set(Xp[qp.empty_ids])
-        for buckets, q_level in zip(qp.buckets, F.q_data):
-            for bk, Q in zip(buckets, q_level):
-                out, carry = _qtx_bucket(
-                    Xp, out, carry, Q,
-                    *[jnp.asarray(a) for a in (
-                        bk.src_x_pos, bk.src_x_ids, bk.src_c_pos,
-                        bk.src_c_idx, bk.out_p_pos, bk.out_p_slot,
-                        bk.out_c_pos, bk.out_c_idx, bk.out_e_pos,
-                        bk.out_e_slot)])
-        out = out[:-1]
-        return out[:, 0] if squeeze else out
-
-    if kind != "QX":
-        raise ValueError("kind must be 'QTX' or 'QX'")
-    xout = jnp.zeros((F.sym.m + 1, k), dt)
-    if len(qp.empty_ids):
-        xout = xout.at[qp.empty_ids].set(Xp[qp.empty_slots])
-    for buckets, q_level in zip(reversed(qp.buckets), reversed(F.q_data)):
-        for bk, Q in zip(buckets, q_level):
-            xout, carry = _qx_bucket(
-                Xp, xout, carry, Q,
-                *[jnp.asarray(a) for a in (
-                    bk.src_x_pos, bk.src_x_ids, bk.src_c_pos,
-                    bk.src_c_idx, bk.out_p_pos, bk.out_p_slot,
-                    bk.out_c_pos, bk.out_c_idx, bk.out_e_pos,
-                    bk.out_e_slot)])
-    xout = xout[:-1]
-    return xout[:, 0] if squeeze else xout
+    Xp = jnp.concatenate([X, jnp.zeros((1, X.shape[1]), X.dtype)])
+    cache = getattr(F.plan, "_q_runs", None) or {}
+    run = cache.get(kind)
+    if run is None:
+        run = _make_q_run(qp, kind, F.sym.m)
+        cache[kind] = run
+        F.plan._q_runs = cache
+    out = run(Xp, F.q_data)[:-1]
+    return out[:, 0] if squeeze else out
 
 
 # --------------------------------------------------------------------------

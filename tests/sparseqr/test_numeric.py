@@ -205,3 +205,35 @@ def test_seminormal_qless_solve():
     assert not F.keep_q  # genuinely Q-less
     x_ref = np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
     assert np.allclose(np.asarray(x_sn), x_ref, atol=1e-4)
+
+
+def test_deep_chain_tree_banded():
+    """Tridiagonal-like band: the etree is a long chain (many levels) —
+    exercises the level scheduler's deep path end-to-end."""
+    n = 220
+    A = (sp.diags(np.linspace(2, 3, n)) + sp.diags(np.ones(n - 1), 1)
+         + sp.diags(0.5 * np.ones(n - 1), -1)).tocsc()
+    sym = analyze(A, ORDER_NATURAL, nrelax=0, zrelax=0.0)
+    assert len(sym.levels) > 10  # genuinely deep
+    F = factorize(A, sym=sym)
+    assert _rtr_relerr(F, A) < 1e-4
+    rng = np.random.default_rng(7)
+    b = rng.normal(size=n).astype(np.float32)
+    x, _ = least_squares(A, b, method="seminormal", refine=2, sym=sym)
+    assert np.allclose(A @ np.asarray(x, np.float64), b, atol=1e-4)
+
+
+def test_refactorize_new_values_cached_symbolic():
+    """analyze-once / factorize-many (the reference's QRsym reuse): same
+    pattern, new values, cached plan + compiled program."""
+    A1 = _random_sparse(50, 35, 0.1, 41)
+    sym = analyze(A1)
+    F1 = factorize(A1, sym=sym)
+    A2 = A1.copy()
+    A2.data = A2.data * 2.0 + 0.1
+    F2 = factorize(A2, sym=sym)  # reuses sym._plan and sym._fused
+    assert _rtr_relerr(F1, A1) < 1e-4
+    assert _rtr_relerr(F2, A2) < 1e-4
+    # and the two Rs genuinely differ (no stale-value reuse)
+    assert not np.allclose(np.abs(F1.R_csr().toarray()),
+                           np.abs(F2.R_csr().toarray()), atol=1e-3)
