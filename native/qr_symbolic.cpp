@@ -1,0 +1,295 @@
+// Symbolic multifrontal-QR analysis, native implementation.
+//
+// Role equivalent of the reference's C analysis layer (qr_analyze /
+// SparseChol_super_symbolic, STMMQR/src/qr/SparseQR_analyze.c and
+// src/chol/SparseChol_super_symbolic.c): column elimination tree of A'A,
+// postorder, per-column R row patterns, fundamental supernodes with relaxed
+// amalgamation.  Written from scratch against the published algorithms
+// (Gilbert/Ng/Peyton row-subtree etree; frontal pattern-union rule); the
+// Python implementation in sparseqr/symbolic.py is the semantic oracle and
+// this must produce identical fronts (tested).
+//
+// C ABI for ctypes.  Variable-size outputs are malloc'd here and released
+// by the caller through stm_free().
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+namespace {
+
+// etree of S'S without forming S'S: climb with path compression.
+void col_etree_ata(int32_t m, int32_t n, const int64_t* Cp, const int32_t* Ci,
+                   int32_t* parent) {
+  std::vector<int32_t> ancestor(n, -1), prev_col(m, -1);
+  for (int32_t k = 0; k < n; ++k) {
+    parent[k] = -1;
+    for (int64_t p = Cp[k]; p < Cp[k + 1]; ++p) {
+      int32_t i = prev_col[Ci[p]];
+      while (i != -1 && i < k) {
+        int32_t nxt = ancestor[i];
+        ancestor[i] = k;
+        if (nxt == -1) parent[i] = k;
+        i = nxt;
+      }
+      prev_col[Ci[p]] = k;
+    }
+  }
+}
+
+// iterative postorder, children visited in ascending order.
+void postorder(int32_t n, const int32_t* parent, int32_t* post) {
+  std::vector<int32_t> head(n, -1), next(n, -1), stack;
+  for (int32_t j = n - 1; j >= 0; --j) {
+    if (parent[j] != -1) {
+      next[j] = head[parent[j]];
+      head[parent[j]] = j;
+    }
+  }
+  int32_t k = 0;
+  for (int32_t root = 0; root < n; ++root) {
+    if (parent[root] != -1) continue;
+    stack.push_back(root);
+    while (!stack.empty()) {
+      int32_t j = stack.back();
+      int32_t c = head[j];
+      if (c == -1) {
+        post[k++] = j;
+        stack.pop_back();
+      } else {
+        head[j] = next[c];
+        stack.push_back(c);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void stm_free(void* p) { free(p); }
+
+// Column etree of S'S (S given CSC: Cp (n+1) int64, Ci row ids) + postorder.
+int stm_col_etree_post(int32_t m, int32_t n, const int64_t* Cp,
+                       const int32_t* Ci, int32_t* parent, int32_t* post) {
+  if (n < 0 || m < 0) return 1;
+  col_etree_ata(m, n, Cp, Ci, parent);
+  postorder(n, parent, post);
+  return 0;
+}
+
+// Supernodal front construction on the POSTORDERED S.
+//
+// Inputs: CSR of S (Rp (m+1) int64, Rj col ids, postordered labels),
+// postordered etree `parent`, amalgamation knobs nrelax/zrelax (the
+// reference's Relaxfactor role).
+//
+// Outputs (malloc'd): per-front pivot ranges [piv_lo[f], piv_hi[f]),
+// column patterns (cols_flat with cols_ptr offsets, sorted, first npiv
+// entries = pivots), and S-row lists (srows_flat/srows_ptr, rows grouped
+// by leftmost pivot in front order).
+int stm_qr_fronts(int32_t m, int32_t n, const int64_t* Rp, const int32_t* Rj,
+                  const int32_t* parent, int32_t nrelax, double zrelax,
+                  int32_t* n_fronts_out, int32_t** piv_lo_out,
+                  int32_t** piv_hi_out, int32_t** cols_flat_out,
+                  int64_t** cols_ptr_out, int32_t** srows_flat_out,
+                  int64_t** srows_ptr_out) {
+  // ---- rows grouped by leftmost column (counting sort) -------------------
+  std::vector<int32_t> leftmost(m, -1);
+  std::vector<int64_t> row_cnt(n + 1, 0);
+  for (int32_t i = 0; i < m; ++i) {
+    if (Rp[i] < Rp[i + 1]) {
+      int32_t lm = Rj[Rp[i]];
+      for (int64_t p = Rp[i]; p < Rp[i + 1]; ++p) lm = std::min(lm, Rj[p]);
+      leftmost[i] = lm;
+      ++row_cnt[lm + 1];
+    }
+  }
+  for (int32_t j = 0; j < n; ++j) row_cnt[j + 1] += row_cnt[j];
+  std::vector<int32_t> rows_by_left(row_cnt[n]);
+  {
+    std::vector<int64_t> pos(row_cnt.begin(), row_cnt.end() - 1);
+    for (int32_t i = 0; i < m; ++i)
+      if (leftmost[i] >= 0) rows_by_left[pos[leftmost[i]]++] = i;
+  }
+
+  // ---- children lists ----------------------------------------------------
+  std::vector<int32_t> chead(n, -1), cnext(n, -1);
+  for (int32_t j = n - 1; j >= 0; --j) {
+    if (parent[j] != -1) {
+      cnext[j] = chead[parent[j]];
+      chead[parent[j]] = j;
+    }
+  }
+
+  // ---- per-column patterns via the frontal union rule --------------------
+  // C_j = {j} ∪ cols(rows with leftmost j) ∪ (∪_children C_c \ {c}),
+  // collected with an epoch-marker array, then sorted.
+  std::vector<std::vector<int32_t>> pat(n);
+  std::vector<int32_t> mark(n, -1);
+  for (int32_t j = 0; j < n; ++j) {
+    std::vector<int32_t>& out = pat[j];
+    out.push_back(j);
+    mark[j] = j;
+    for (int64_t q = row_cnt[j]; q < row_cnt[j + 1]; ++q) {
+      int32_t i = rows_by_left[q];
+      for (int64_t p = Rp[i]; p < Rp[i + 1]; ++p) {
+        int32_t c = Rj[p];
+        if (mark[c] != j) {
+          mark[c] = j;
+          out.push_back(c);
+        }
+      }
+    }
+    for (int32_t c = chead[j]; c != -1; c = cnext[c]) {
+      const std::vector<int32_t>& pc = pat[c];
+      for (size_t t = 1; t < pc.size(); ++t) {  // skip the child's pivot
+        if (mark[pc[t]] != j) {
+          mark[pc[t]] = j;
+          out.push_back(pc[t]);
+        }
+      }
+    }
+    std::sort(out.begin(), out.end());
+  }
+
+  // ---- fundamental supernodes --------------------------------------------
+  std::vector<int32_t> sn_first;
+  std::vector<int32_t> sn_of(n);
+  for (int32_t j = 0; j < n; ++j) {
+    if (j > 0 && parent[j - 1] == j &&
+        pat[j].size() == pat[j - 1].size() - 1) {
+      sn_of[j] = sn_of[j - 1];
+    } else {
+      sn_of[j] = static_cast<int32_t>(sn_first.size());
+      sn_first.push_back(j);
+    }
+  }
+  int32_t nsn = static_cast<int32_t>(sn_first.size());
+  std::vector<int32_t> sn_last(nsn);
+  for (int32_t k = 0; k < nsn; ++k)
+    sn_last[k] = (k + 1 < nsn) ? sn_first[k + 1] - 1 : n - 1;
+  std::vector<int32_t> sn_parent(nsn, -1);
+  for (int32_t k = 0; k < nsn; ++k) {
+    int32_t p = parent[sn_last[k]];
+    if (p != -1) sn_parent[k] = sn_of[p];
+  }
+
+  // ---- relaxed amalgamation (bottom-up, contiguity-preserving) ------------
+  std::vector<int32_t> merged_into(nsn, -1);
+  std::vector<int32_t> lo(sn_first), hi(nsn);  // pivot range per live sn
+  for (int32_t k = 0; k < nsn; ++k) hi[k] = sn_last[k] + 1;
+  // per-supernode pattern = union of member column patterns (merged lazily)
+  std::vector<std::vector<int32_t>> spat(nsn);
+  for (int32_t k = 0; k < nsn; ++k) {
+    // union over a fundamental chain = pattern of its first column plus the
+    // later pivots (telescoping), which the first pattern already contains
+    // except... safest: explicit union with the marker (epoch = n + k).
+    std::vector<int32_t>& out = spat[k];
+    int32_t epoch = n + k;
+    for (int32_t j = sn_first[k]; j <= sn_last[k]; ++j) {
+      for (int32_t c : pat[j]) {
+        if (mark[c] != epoch) {
+          mark[c] = epoch;
+          out.push_back(c);
+        }
+      }
+    }
+    std::sort(out.begin(), out.end());
+  }
+  // per-column pattern sizes retained for the zero-fraction estimate
+  std::vector<int64_t> col_pat_size(n);
+  for (int32_t j = 0; j < n; ++j) col_pat_size[j] = pat[j].size();
+  std::vector<int64_t> sn_nzreal(nsn, 0);
+  for (int32_t k = 0; k < nsn; ++k)
+    for (int32_t j = sn_first[k]; j <= sn_last[k]; ++j)
+      sn_nzreal[k] += col_pat_size[j];
+
+  auto find_live = [&](int32_t k) {
+    while (merged_into[k] != -1) k = merged_into[k];
+    return k;
+  };
+  int32_t epoch_ctr = 2 * n + nsn;
+  for (int32_t k = nsn - 1; k >= 0; --k) {
+    int32_t p = sn_parent[k];
+    if (p == -1) continue;
+    p = find_live(p);
+    if (lo[p] != hi[k]) continue;  // pivots must stay contiguous
+    // merged pattern via marker union
+    std::vector<int32_t> merged;
+    int32_t epoch = epoch_ctr++;
+    for (int32_t c : spat[k])
+      if (mark[c] != epoch) { mark[c] = epoch; merged.push_back(c); }
+    for (int32_t c : spat[p])
+      if (mark[c] != epoch) { mark[c] = epoch; merged.push_back(c); }
+    int64_t npiv_new = (hi[k] - lo[k]) + (hi[p] - lo[p]);
+    int64_t width = static_cast<int64_t>(merged.size());
+    int64_t nz_merged = 0;
+    for (int64_t t = 0; t < npiv_new; ++t) nz_merged += width - t;
+    int64_t nz_real = sn_nzreal[k] + sn_nzreal[p];
+    double zeros_frac =
+        1.0 - static_cast<double>(nz_real) /
+                  static_cast<double>(std::max<int64_t>(nz_merged, 1));
+    if ((hi[k] - lo[k]) <= nrelax || zeros_frac <= zrelax) {
+      std::sort(merged.begin(), merged.end());
+      spat[p] = std::move(merged);
+      sn_nzreal[p] = nz_real;
+      lo[p] = lo[k];
+      merged_into[k] = p;
+    }
+  }
+
+  // ---- emit live fronts ----------------------------------------------------
+  std::vector<int32_t> live;
+  for (int32_t k = 0; k < nsn; ++k)
+    if (merged_into[k] == -1) live.push_back(k);
+  int32_t nf = static_cast<int32_t>(live.size());
+
+  int32_t* piv_lo = static_cast<int32_t*>(malloc(sizeof(int32_t) * nf));
+  int32_t* piv_hi = static_cast<int32_t*>(malloc(sizeof(int32_t) * nf));
+  int64_t* cols_ptr = static_cast<int64_t*>(malloc(sizeof(int64_t) * (nf + 1)));
+  int64_t* srows_ptr =
+      static_cast<int64_t*>(malloc(sizeof(int64_t) * (nf + 1)));
+  int64_t cols_total = 0, srows_total = 0;
+  for (int32_t t = 0; t < nf; ++t) {
+    int32_t k = live[t];
+    cols_total += static_cast<int64_t>(spat[k].size());
+    srows_total += row_cnt[hi[k]] - row_cnt[lo[k]];
+  }
+  int32_t* cols_flat =
+      static_cast<int32_t*>(malloc(sizeof(int32_t) * std::max<int64_t>(cols_total, 1)));
+  int32_t* srows_flat = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * std::max<int64_t>(srows_total, 1)));
+  if (!piv_lo || !piv_hi || !cols_ptr || !srows_ptr || !cols_flat ||
+      !srows_flat)
+    return 2;
+  int64_t cpos = 0, spos = 0;
+  for (int32_t t = 0; t < nf; ++t) {
+    int32_t k = live[t];
+    piv_lo[t] = lo[k];
+    piv_hi[t] = hi[k];
+    cols_ptr[t] = cpos;
+    std::memcpy(cols_flat + cpos, spat[k].data(),
+                sizeof(int32_t) * spat[k].size());
+    cpos += static_cast<int64_t>(spat[k].size());
+    srows_ptr[t] = spos;
+    for (int64_t q = row_cnt[lo[k]]; q < row_cnt[hi[k]]; ++q)
+      srows_flat[spos++] = rows_by_left[q];
+  }
+  cols_ptr[nf] = cpos;
+  srows_ptr[nf] = spos;
+
+  *n_fronts_out = nf;
+  *piv_lo_out = piv_lo;
+  *piv_hi_out = piv_hi;
+  *cols_flat_out = cols_flat;
+  *cols_ptr_out = cols_ptr;
+  *srows_flat_out = srows_flat;
+  *srows_ptr_out = srows_ptr;
+  return 0;
+}
+
+}  // extern "C"

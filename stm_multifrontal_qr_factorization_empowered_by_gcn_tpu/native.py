@@ -70,8 +70,22 @@ def _load():
     lib.stm_ml_partition.argtypes = [
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p,
     ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    pp32 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
+    pp64 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
+    lib.stm_col_etree_post.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i64p, i32p, i32p, i32p,
+    ]
+    lib.stm_qr_fronts.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i64p, i32p, i32p,
+        ctypes.c_int32, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32), pp32, pp32, pp32, pp64, pp32, pp64,
+    ]
+    lib.stm_free.argtypes = [ctypes.c_void_p]
+    lib.stm_free.restype = None
     for f in (lib.stm_order, lib.stm_symbolic_fill, lib.stm_col_order,
-              lib.stm_bfs_partition, lib.stm_ml_partition):
+              lib.stm_bfs_partition, lib.stm_ml_partition,
+              lib.stm_col_etree_post, lib.stm_qr_fronts):
         f.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -203,3 +217,59 @@ def label_matrix(
         fills[k] = lnz
     best = min(fills, key=fills.get)
     return best, fills
+
+
+def col_etree_post(Cp, Ci, m: int, n: int):
+    """Column etree of SᵀS + postorder (native).  ``Cp/Ci``: CSC of S."""
+    lib = _load()
+    Cp = np.ascontiguousarray(Cp, np.int64)
+    Ci = _as_i32(Ci)
+    parent = np.empty(n, np.int32)
+    post = np.empty(n, np.int32)
+    rc = lib.stm_col_etree_post(
+        m, n, Cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _ptr(Ci),
+        _ptr(parent), _ptr(post))
+    if rc != 0:
+        raise ValueError("stm_col_etree_post failed")
+    return parent.astype(np.int64), post.astype(np.int64)
+
+
+def qr_fronts(Rp, Rj, parent, m: int, n: int,
+              nrelax: int = 4, zrelax: float = 0.25):
+    """Supernodal QR front construction (native) on the postordered S.
+
+    Returns (piv_lo, piv_hi, cols_flat, cols_ptr, srows_flat, srows_ptr)
+    — same semantics as the pure-Python path in ``sparseqr/symbolic.py``
+    (which is the tested oracle for this function)."""
+    lib = _load()
+    Rp = np.ascontiguousarray(Rp, np.int64)
+    Rj = _as_i32(Rj)
+    par = _as_i32(parent)
+    nf = ctypes.c_int32()
+    p_lo = ctypes.POINTER(ctypes.c_int32)()
+    p_hi = ctypes.POINTER(ctypes.c_int32)()
+    p_cf = ctypes.POINTER(ctypes.c_int32)()
+    p_cp = ctypes.POINTER(ctypes.c_int64)()
+    p_sf = ctypes.POINTER(ctypes.c_int32)()
+    p_sp = ctypes.POINTER(ctypes.c_int64)()
+    rc = lib.stm_qr_fronts(
+        m, n, Rp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _ptr(Rj),
+        _ptr(par), nrelax, float(zrelax), ctypes.byref(nf),
+        ctypes.byref(p_lo), ctypes.byref(p_hi), ctypes.byref(p_cf),
+        ctypes.byref(p_cp), ctypes.byref(p_sf), ctypes.byref(p_sp))
+    if rc != 0:
+        raise ValueError("stm_qr_fronts failed")
+    k = nf.value
+    cols_ptr = np.ctypeslib.as_array(p_cp, shape=(k + 1,)).copy()
+    srows_ptr = np.ctypeslib.as_array(p_sp, shape=(k + 1,)).copy()
+    out = (
+        np.ctypeslib.as_array(p_lo, shape=(k,)).copy(),
+        np.ctypeslib.as_array(p_hi, shape=(k,)).copy(),
+        np.ctypeslib.as_array(p_cf, shape=(max(int(cols_ptr[-1]), 1),)).copy(),
+        cols_ptr,
+        np.ctypeslib.as_array(p_sf, shape=(max(int(srows_ptr[-1]), 1),)).copy(),
+        srows_ptr,
+    )
+    for p in (p_lo, p_hi, p_cf, p_cp, p_sf, p_sp):
+        lib.stm_free(ctypes.cast(p, ctypes.c_void_p))
+    return out

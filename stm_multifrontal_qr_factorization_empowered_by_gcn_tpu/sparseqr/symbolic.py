@@ -29,6 +29,10 @@ ORDER_NESDIS = 3   # deep ND w/ small MD leaves       (QR_ORDERING_NESDIS)
 ORDER_NATURAL = 4  # identity                         (QR_ORDERING_NATURAL)
 ORDER_GIVEN = 5    # caller-supplied permutation      (QR_ORDERING_GIVEN)
 
+# test hook: force the pure-Python front construction even when the native
+# library (native/qr_symbolic.cpp) is available
+_FORCE_PYTHON = False
+
 
 def column_etree(A: sp.csc_matrix) -> np.ndarray:
     """Column elimination tree of AᵀA without forming AᵀA.
@@ -238,27 +242,54 @@ def analyze(A: sp.spmatrix, ordering: int = ORDER_COLAMD,
     ``Relaxfactor_setting`` / nrelax/zrelax knobs,
     ``SparseCore_common.c:1172``, ``SparseChol_super_symbolic.c:193-360``).
     """
+    from .. import native
+
     A = sp.csc_matrix(A)
     A.sum_duplicates()
     m, n = A.shape
+    use_native = native.native_available() and not _FORCE_PYTHON
 
     q0 = _fill_reducing_q(A, ordering, given)
-    S0 = A[:, q0]
-    parent0 = column_etree(S0)
-    post = postorder(parent0)
+    S0 = sp.csc_matrix(A[:, q0])
+    if use_native:
+        parent0, post = native.col_etree_post(S0.indptr, S0.indices, m, n)
+    else:
+        parent0 = column_etree(S0)
+        post = postorder(parent0)
     q = q0[post]
     S = A[:, q].tocsc()
     # relabeled etree: parent in postordered coordinates
     inv_post = np.empty(n, np.int64)
     inv_post[post] = np.arange(n)
     parent = np.full(n, -1, np.int64)
-    for j in range(n):
-        p = parent0[j]
-        if p != -1:
-            parent[inv_post[j]] = inv_post[p]
+    nz = parent0 >= 0
+    parent[inv_post[nz]] = inv_post[parent0[nz]]
     # postorder property: children have smaller labels than parents
     assert np.all(parent[parent >= 0] > np.nonzero(parent >= 0)[0])
 
+    if use_native:
+        St = S.tocsr()
+        St.sum_duplicates()
+        (lo, hi, cols_flat, cols_ptr,
+         srows_flat, srows_ptr) = native.qr_fronts(
+            St.indptr, St.indices, parent, m, n, nrelax, zrelax)
+        fronts: List[Front] = []
+        col_to_front = np.empty(n, np.int64)
+        for i in range(len(lo)):
+            piv = np.arange(lo[i], hi[i], dtype=np.int64)
+            cols = cols_flat[cols_ptr[i]:cols_ptr[i + 1]].astype(np.int64)
+            srows = srows_flat[srows_ptr[i]:srows_ptr[i + 1]].astype(np.int64)
+            assert np.array_equal(cols[:len(piv)], piv)
+            fronts.append(Front(fid=i, pivots=piv, cols=cols, srows=srows))
+            col_to_front[piv] = i
+        return _finish_symbolic(m, n, q, parent, fronts, col_to_front,
+                                ordering)
+    return _analyze_python(m, n, q, parent, S, ordering, nrelax, zrelax)
+
+
+def _analyze_python(m, n, q, parent, S, ordering, nrelax, zrelax):
+    """Pure-Python front construction — the semantic oracle for the native
+    path (``native/qr_symbolic.cpp``) and the no-.so fallback."""
     St = S.tocsr()
     leftmost = np.full(m, -1, np.int64)
     for i in range(m):
@@ -327,7 +358,6 @@ def analyze(A: sp.spmatrix, ordering: int = ORDER_COLAMD,
             merged_into[k] = p
 
     live = [k for k in range(nsn) if merged_into[k] == -1]
-    fid_of = {k: i for i, k in enumerate(live)}
 
     fronts: List[Front] = []
     col_to_front = np.empty(n, np.int64)
@@ -340,24 +370,29 @@ def analyze(A: sp.spmatrix, ordering: int = ORDER_COLAMD,
                             srows=np.zeros(0, np.int64)))
         col_to_front[piv] = i
 
-    for i, k in enumerate(live):
-        # parent of a (possibly merged) front = the live front containing
-        # the etree parent of its last pivot column
-        last_piv = fronts[i].pivots[-1]
-        pp = parent[last_piv]
-        fronts[i].parent = -1 if pp == -1 else int(col_to_front[pp])
-        if fronts[i].parent == i:  # can happen only on bugs
-            raise AssertionError("front cannot parent itself")
-    for f in fronts:
-        if f.parent != -1:
-            fronts[f.parent].children.append(f.fid)
-
     # S rows per front (by leftmost pivot)
     for f in fronts:
         rs = [order_rows[row_ptr[j]:row_ptr[j + 1]] for j in f.pivots]
         f.srows = np.concatenate(rs) if rs else np.zeros(0, np.int64)
 
-    # levels (leaves first), true row counts, CB rows, pool offsets
+    return _finish_symbolic(m, n, q, parent, fronts, col_to_front, ordering)
+
+
+def _finish_symbolic(m, n, q, parent, fronts: List[Front],
+                     col_to_front: np.ndarray, ordering: int) -> SymbolicQR:
+    """Shared tail: front tree, levels, row counts, stats."""
+    for i, f in enumerate(fronts):
+        # parent of a (possibly merged) front = the live front containing
+        # the etree parent of its last pivot column
+        pp = parent[f.pivots[-1]]
+        f.parent = -1 if pp == -1 else int(col_to_front[pp])
+        if f.parent == i:  # can happen only on bugs
+            raise AssertionError("front cannot parent itself")
+    for f in fronts:
+        if f.parent != -1:
+            fronts[f.parent].children.append(f.fid)
+
+    # levels (leaves first), true row counts, CB rows, compact pool stats
     nnz_R = 0
     flops = 0.0
     pool_off = 0
