@@ -82,42 +82,16 @@ def main():
                   f"{type(e).__name__}")
             continue
 
-        # steady state: chain-differenced timing (the axon tunnel costs a
-        # flat ~20 ms per host sync, so single-shot timing is RTT-bound) —
-        # run k chained factorizations inside one jit, difference two
-        # chain lengths.
+        # steady state: chain-differenced timing inside one fori_loop
+        # program (the axon tunnel costs a flat ~20 ms per host sync)
         import jax.numpy as jnp
+        from benchmark.qr_timing import time_factorize
         from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.sparseqr.numeric import (
             _make_fused_run, ell_values)
         plan = sym._plan
         run = _make_fused_run(plan.buckets, False)
         sdata0 = jnp.asarray(ell_values(plan), jnp.float32)
-        pool0 = jnp.zeros(plan.pool_size, jnp.float32)
-
-        def chain(k):
-            @jax.jit
-            def impl(sdata, arrs):
-                acc = jnp.zeros((), jnp.float32)
-                for i in range(k):
-                    # data dependence on acc defeats CSE across iterations;
-                    # index arrays ride as args (constants re-inflate HLO)
-                    pool, _ = run.raw(pool0, sdata + acc * 1e-30, arrs)
-                    acc = acc + pool[0]
-                return acc
-            return impl
-
-        k_s, k_l = 2, 2 + max(2, args.repeats)
-        c_s, c_l = chain(k_s), chain(k_l)
-        for c in (c_s, c_l):
-            c(sdata0, run.arrays).block_until_ready()
-        ts = [0.0] * 5
-        tl = [0.0] * 5
-        for i in range(5):
-            t0 = time.time(); c_s(sdata0, run.arrays).block_until_ready()
-            ts[i] = time.time() - t0
-            t0 = time.time(); c_l(sdata0, run.arrays).block_until_ready()
-            tl[i] = time.time() - t0
-        t_fac = max(min(tl) - min(ts), 1e-9) / (k_l - k_s)
+        t_fac = time_factorize(run, plan, sdata0, reps=args.repeats)
         gfs = sym.flops / t_fac / 1e9
         # solve-and-check (the reference's correctness witness): relative
         # residual ‖Ax−b‖/‖b‖ is meaningful even at detected rank

@@ -110,9 +110,13 @@ def main():
     if args.measure:
         from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.sparseqr.numeric import (
             _make_fused_run, build_plan, ell_values)
-        rng = np.random.default_rng(0)
-        sel = rng.choice(n, size=min(args.measure, n), replace=False)
+        # measure the LARGEST matrices: micro-instances are device-dispatch
+        # bound (time tracks level count, not flops) and RTT jitter swamps
+        # sub-ms differences
+        sel = np.argsort(fl[1])[::-1][:min(args.measure, n)]
         t_model, t_colamd, lf, lt = [], [], [], []
+
+        from benchmark.qr_timing import time_factorize
 
         def fac_time(A, k):
             sym = sparseqr.analyze(A, k)
@@ -120,28 +124,7 @@ def main():
             plan = build_plan(sym, S)
             run = _make_fused_run(plan.buckets, False)
             vals = jnp.asarray(ell_values(plan), jnp.float32)
-            pool0 = jnp.zeros(plan.pool_size, jnp.float32)
-
-            def chain(kk):
-                @jax.jit
-                def impl(v, arrs):
-                    acc = jnp.zeros((), jnp.float32)
-                    for _ in range(kk):
-                        pool, _ = run.raw(pool0, v + acc * 1e-30, arrs)
-                        acc = acc + pool[0]
-                    return acc
-                return impl
-
-            c1, c2 = chain(1), chain(5)
-            c1(vals, run.arrays).block_until_ready()
-            c2(vals, run.arrays).block_until_ready()
-            t1 = min((lambda t0=time.time():
-                      (c1(vals, run.arrays).block_until_ready(),
-                       time.time() - t0)[1])() for _ in range(4))
-            t2 = min((lambda t0=time.time():
-                      (c2(vals, run.arrays).block_until_ready(),
-                       time.time() - t0)[1])() for _ in range(4))
-            return max(t2 - t1, 1e-9) / 4, sym.flops
+            return time_factorize(run, plan, vals), sym.flops
 
         print(f"\nwall-time sample ({len(sel)} matrices × 4 orderings):")
         for i in sel:
