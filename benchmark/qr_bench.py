@@ -52,7 +52,7 @@ def main():
     dev = jax.devices()[0].platform
     print(f"backend={dev}  ordering={args.ordering}  repeats={args.repeats}")
     print(f"{'matrix':<18}{'m×n':<14}{'nnz':>8}{'fronts':>7}{'lvls':>5}"
-          f"{'ana(s)':>8}{'fac(ms)':>9}{'GF/s':>7}{'res/n':>10}")
+          f"{'ana(s)':>8}{'fac(ms)':>10}{'GF/s':>9}{'res':>10}")
 
     for path in paths:
         name = osp.splitext(osp.basename(path))[0]
@@ -113,8 +113,8 @@ def main():
                                            refine=2)
             res = min(res, relres(x1))
         print(f"{name:<18}{f'{m}x{n}':<14}{A.nnz:>8}{len(sym.fronts):>7}"
-              f"{len(sym.levels):>5}{t_ana:>8.3f}{t_fac*1e3:>9.2f}"
-              f"{gfs:>7.1f}{res:>10.1e}")
+              f"{len(sym.levels):>5}{t_ana:>8.3f}{t_fac*1e3:>10.2f}"
+              f"{gfs:>9.1f}{res:>10.1e}")
 
 
 if __name__ == "__main__":

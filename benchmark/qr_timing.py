@@ -23,7 +23,10 @@ def make_chain(run, pool_size, dtype=jnp.float32):
             def body(i, acc):
                 pool, _ = run.raw(jnp.zeros(pool_size, dtype),
                                   vals + acc * 1e-30, arrs)
-                return acc + pool[0]
+                # depend on EVERY output element — with exact per-slab
+                # dataflow, depending on pool[0] alone lets XLA dead-code
+                # eliminate all fronts that don't feed it
+                return acc + jnp.sum(pool) * 1e-12
             return jax.lax.fori_loop(0, k, body, jnp.zeros((), dtype))
         return impl
     return chain

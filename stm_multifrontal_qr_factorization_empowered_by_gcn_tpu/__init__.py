@@ -10,4 +10,7 @@ as stmgcn`` (or use the ``stmgcn`` convenience package).
 """
 __version__ = "0.1.0"
 
-from . import data, datasets, io, models, nn, ops, parallel, train, transforms, utils  # noqa: F401
+from . import (  # noqa: F401
+    data, datasets, io, models, nn, ops, parallel, sparseqr, train,
+    transforms, utils,
+)

@@ -43,8 +43,11 @@ from .symbolic import ORDER_COLAMD, SymbolicQR, analyze
 
 
 def _pad_dim(x: int) -> int:
-    """Round a front dimension up to an MXU/VPU-friendly size class."""
-    for s in (8, 16, 32, 64, 128):
+    """Round a front dimension up to an MXU/VPU-friendly size class.
+    Classes are ~1.33× apart (not powers of two): flop waste from padding
+    is bounded by ~1.8× instead of 8×, at the cost of a few more compiled
+    bucket shapes."""
+    for s in (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 320, 384, 512):
         if x <= s:
             return s
     return ((x + 127) // 128) * 128
@@ -74,13 +77,18 @@ class Bucket:
     ell_lc: np.ndarray = field(default=None)     # (count, K) local col | −1
     s_dst: np.ndarray = field(default=None)      # (count,) rows in B·fm_pad
     # ---- child-CB assembly, grouped by the child's bucket: row-gather
-    # from that bucket's contiguous pool slab, one-hot column alignment,
-    # row-scatter.  Each group: (slab_base, slab_rows, slab_width,
-    # src_rows, colmap, dst_rows).
+    # from that bucket's R_F slab, one-hot column alignment, row-scatter.
+    # Each group: (src_level, src_bucket, slab_rows, slab_width,
+    # src_rows, row→child map, per-child colmaps, dst_rows).  Referencing
+    # the child *slab* (not a monolithic pool) keeps the XLA dataflow
+    # exact, so independent subtrees overlap instead of serializing on a
+    # single pool value.
     cb_groups: List[Tuple] = field(default_factory=list)
-    # slice-based R packing: this bucket's fronts own a contiguous padded
-    # pool region [pool_base, pool_base + B·fn_pad²).
+    # this bucket's fronts own the contiguous padded pool region
+    # [pool_base, pool_base + B·fn_pad²) of the final concatenated pool
     pool_base: int = 0
+    level_idx: int = 0
+    bucket_idx: int = 0
 
     @property
     def batch(self) -> int:
@@ -121,15 +129,17 @@ def build_plan(sym: SymbolicQR, S: sp.csc_matrix) -> QRPlan:
     # ---- pass 1: buckets + padded pool offsets ---------------------------
     buckets: List[List[Bucket]] = []
     pool_total = 0
-    for level_fids in sym.levels:
+    for li, level_fids in enumerate(sym.levels):
         groups: Dict[Tuple[int, int], Bucket] = {}
         for fid in level_fids:
             f = fronts[fid]
             key = (_pad_dim(max(f.fm, f.fn)), _pad_dim(f.fn))
             groups.setdefault(key, Bucket([], *key)).fids.append(fid)
         level_buckets = list(groups.values())
-        for bucket in level_buckets:
+        for bi, bucket in enumerate(level_buckets):
             bucket.pool_base = pool_total
+            bucket.level_idx = li
+            bucket.bucket_idx = bi
             for b, fid in enumerate(bucket.fids):
                 f = fronts[fid]
                 f.pool_off = pool_total + b * bucket.fn_pad * bucket.fn_pad
@@ -205,7 +215,8 @@ def build_plan(sym: SymbolicQR, S: sp.csc_matrix) -> QRPlan:
             bk.cb_groups = []
             for sb, srcs, r2c, cms, dsts in cb_by_src.values():
                 bk.cb_groups.append((
-                    sb.pool_base, sb.batch * sb.fn_pad, sb.fn_pad,
+                    sb.level_idx, sb.bucket_idx,
+                    sb.batch * sb.fn_pad, sb.fn_pad,
                     np.concatenate(srcs).astype(np.int32),
                     np.concatenate(r2c).astype(np.int32),
                     np.stack(cms).astype(np.int32),
@@ -356,36 +367,35 @@ def _expand_rows(vals, lc, width: int, chunk: int = 4096):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
-def _assemble(meta, arrays, pool, vals_ell):
+def _assemble(meta, arrays, slabs, vals_ell, dtype):
     """Front assembly = pure row stacking: slice the bucket's S rows from
     the assembly-ordered ELL table, align columns, row-scatter; then per
-    child bucket, row-gather CB rows from its contiguous pool slab, align
-    columns, row-scatter.  All movement is row-granular.
+    child bucket, row-gather CB rows from that bucket's R_F *slab*, align
+    columns, row-scatter.  All movement is row-granular, and referencing
+    per-bucket slabs (not one pool array) gives XLA the exact dataflow —
+    independent subtrees overlap.
 
     ``meta`` holds the static shape info; ``arrays`` the index arrays as
     *runtime arguments* (baking them in as constants inflates the HLO past
     the axon tunnel's upload limit)."""
     (B, fm_pad, fn_pad, pool_base, ell_start, ell_count, groups_meta) = meta
     (ell_lc, s_dst, group_arrays) = arrays
-    buf = jnp.zeros((B * fm_pad, fn_pad), pool.dtype)
+    buf = jnp.zeros((B * fm_pad, fn_pad), dtype)
     if ell_count:
         sv = jax.lax.slice_in_dim(vals_ell, ell_start,
                                   ell_start + ell_count, axis=0)
         buf = buf.at[s_dst].set(_expand_rows(sv, ell_lc, fn_pad))
-    for (base, slab_rows, slab_w), (src, r2c, cm_compact, dst) in zip(
+    for (sl, sb, slab_rows, slab_w), (src, r2c, cm_compact, dst) in zip(
             groups_meta, group_arrays):
-        slab = jax.lax.slice_in_dim(
-            pool, base, base + slab_rows * slab_w).reshape(slab_rows, slab_w)
+        slab = slabs[(sl, sb)].reshape(slab_rows, slab_w)
         cm = cm_compact[r2c]  # per-row column maps from per-child compact rows
         buf = buf.at[dst].set(_expand_rows(slab[src], cm, fn_pad))
     return buf.reshape(B, fm_pad, fn_pad)
 
 
-def _pack_r(pool, R, fn_pad, pool_base):
-    """Write a whole bucket's R_F block (upper triangles of the first
-    fn_pad rows) into its contiguous pool region — one dynamic slice."""
-    block = jnp.triu(R[:, :fn_pad, :]).reshape(-1)
-    return jax.lax.dynamic_update_slice(pool, block, (pool_base,))
+def _extract_rf(R, fn_pad):
+    """A bucket's R_F slab = upper triangles of the first fn_pad rows."""
+    return jnp.triu(R[:, :fn_pad, :]).reshape(-1)
 
 
 def _factor_bucket(F, keep_q: bool):
@@ -402,7 +412,7 @@ def _factor_bucket(F, keep_q: bool):
 def _bucket_meta(bk: Bucket):
     return (bk.batch, bk.fm_pad, bk.fn_pad, bk.pool_base,
             bk.ell_start, bk.ell_count,
-            tuple((base, rows, w) for (base, rows, w, *_)
+            tuple((sl, sb, rows, w) for (sl, sb, rows, w, *_)
                   in bk.cb_groups))
 
 
@@ -410,42 +420,71 @@ def _bucket_arrays(bk: Bucket):
     return (jnp.asarray(bk.ell_lc), jnp.asarray(bk.s_dst),
             tuple((jnp.asarray(src), jnp.asarray(r2c), jnp.asarray(cm),
                    jnp.asarray(dst))
-                  for (_, _, _, src, r2c, cm, dst) in bk.cb_groups))
+                  for (_, _, _, _, src, r2c, cm, dst) in bk.cb_groups))
 
 
-def _make_fused_run(levels: List[List[Bucket]], keep_q: bool):
+def _make_fused_run(levels: List[List[Bucket]], keep_q: bool,
+                    dtype=jnp.float32):
     """Fuse a level schedule into ONE jitted program (single device
     dispatch — essential under the axon tunnel, where each dispatch pays an
-    RTT; also lets XLA overlap independent buckets).  Shape info is static;
-    the index arrays travel as runtime arguments (device-resident after the
-    first call) because constant-folding them inflates the serialized HLO
-    past the tunnel's upload limit.  The compiled fn is cached on the
-    symbolic object and reused for every re-factorization of the pattern."""
+    RTT).  Per-bucket R_F *slabs* carry the inter-front dataflow, so XLA
+    overlaps independent subtrees; the final pool is their concatenation
+    in pool_base order.  Shape info is static; the index arrays travel as
+    runtime arguments (device-resident after the first call) because
+    constant-folding them inflates the serialized HLO past the tunnel's
+    upload limit.  The compiled fn is cached on the symbolic object and
+    reused for every re-factorization of the pattern."""
     metas = [[_bucket_meta(bk) for bk in level] for level in levels]
     arrays = tuple(tuple(_bucket_arrays(bk) for bk in level)
                    for level in levels)
 
     @partial(jax.jit, static_argnums=())
-    def _run(pool, vals_ell, arrs):
+    def _run(_pool_unused, vals_ell, arrs):
         qs = []
-        for level_meta, level_arr in zip(metas, arrs):
-            for bm, ba in zip(level_meta, level_arr):
-                F = _assemble(bm, ba, pool, vals_ell)
+        slabs = {}
+        order = []
+        for li, (level_meta, level_arr) in enumerate(zip(metas, arrs)):
+            for bi, (bm, ba) in enumerate(zip(level_meta, level_arr)):
+                F = _assemble(bm, ba, slabs, vals_ell, dtype)
                 Q, R = _factor_bucket(F, keep_q)
                 if keep_q:
                     qs.append(Q)
-                pool = _pack_r(pool, R, bm[2], bm[3])
+                slabs[(li, bi)] = _extract_rf(R, bm[2])
+                order.append((li, bi))
+        pool = (jnp.concatenate([slabs[k] for k in order])
+                if order else jnp.zeros(0, dtype))
         return pool, qs
 
     def run(pool, vals_ell):
         return _run(pool, vals_ell, arrays)
 
-    # expose the raw jitted fn + array pytree so callers embedding the run
-    # in a larger jit (e.g. chained benchmarking) can thread the index
-    # arrays as arguments — capturing them as constants re-inflates the HLO
     run.raw = _run
     run.arrays = arrays
     return run
+
+
+def _make_level_run(level_idx: int, level: List[Bucket], keep_q: bool,
+                    dtype=jnp.float32):
+    """One level as its own program (deep-plan fallback): consumes the
+    child slabs it needs as arguments, returns this level's slabs."""
+    needed = sorted({(sl, sb) for bk in level
+                     for (sl, sb, *_rest) in bk.cb_groups})
+    metas = [_bucket_meta(bk) for bk in level]
+    arrays = tuple(_bucket_arrays(bk) for bk in level)
+
+    @jax.jit
+    def _run(vals_ell, in_slabs, arrs):
+        slabs = dict(zip(needed, in_slabs))
+        outs, qs = [], []
+        for bm, ba in zip(metas, arrs):
+            F = _assemble(bm, ba, slabs, vals_ell, dtype)
+            Q, R = _factor_bucket(F, keep_q)
+            if keep_q:
+                qs.append(Q)
+            outs.append(_extract_rf(R, bm[2]))
+        return tuple(outs), qs
+
+    return needed, lambda vals, ins: _run(vals, ins, arrays)
 
 
 def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
@@ -468,35 +507,44 @@ def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
     if plan is None:
         plan = build_plan(sym, S)
         sym._plan = plan
-    pool = jnp.zeros(plan.pool_size, dtype)
     Stv = S.tocsr()
     Stv.sum_duplicates()  # canonical order must match the plan's St
     vals = jnp.asarray(ell_values(plan, Stv), dtype)
     q_data: Optional[List[List]] = [] if keep_q else None
     n_buckets = sum(len(lv) for lv in plan.buckets)
     cache = getattr(sym, "_fused", None) or {}
+    dkey = np.dtype(dtype).name
     if n_buckets <= 256:
-        # one fused program per (pattern, keep_q): single dispatch
-        run = cache.get(keep_q)
+        # one fused program per (pattern, keep_q, dtype): single dispatch
+        run = cache.get((keep_q, dkey))
         if run is None:
-            run = _make_fused_run(plan.buckets, keep_q)
-            cache[keep_q] = run
+            run = _make_fused_run(plan.buckets, keep_q, dtype)
+            cache[(keep_q, dkey)] = run
             sym._fused = cache
-        pool, qs = run(pool, vals)
+        pool, qs = run(jnp.zeros(0, dtype), vals)
         if keep_q:
             it = iter(qs)
             q_data = [[next(it) for _ in lv] for lv in plan.buckets]
     else:
-        # very deep/wide plans: per-level programs bound compile time
-        runs = cache.get(("perlevel", keep_q))
+        # very deep/wide plans: per-level programs bound compile time;
+        # slabs thread between the per-level dispatches
+        runs = cache.get(("perlevel", keep_q, dkey))
         if runs is None:
-            runs = [_make_fused_run([lv], keep_q) for lv in plan.buckets]
-            cache[("perlevel", keep_q)] = runs
+            runs = [_make_level_run(li, lv, keep_q, dtype)
+                    for li, lv in enumerate(plan.buckets)]
+            cache[("perlevel", keep_q, dkey)] = runs
             sym._fused = cache
-        for lv, run in zip(plan.buckets, runs):
-            pool, qs = run(pool, vals)
+        store = {}
+        for li, (lv, (needed, run)) in enumerate(zip(plan.buckets, runs)):
+            outs, qs = run(vals, tuple(store[k] for k in needed))
+            for bi, slab in enumerate(outs):
+                store[(li, bi)] = slab
             if keep_q:
                 q_data.append(list(qs))
+        order = [(bk.level_idx, bk.bucket_idx)
+                 for lv in plan.buckets for bk in lv]
+        pool = (jnp.concatenate([store[k] for k in order])
+                if order else jnp.zeros(0, dtype))
     diag = np.asarray(pool)[np.asarray(plan.diag_idx, np.int64)]
     t = default_tol(sym.m, sym.n, plan.maxcolnorm,
                     np.dtype(dtype)) if tol is None else tol
