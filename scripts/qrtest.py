@@ -135,21 +135,32 @@ def main():
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     t0 = time.time()
     F = sparseqr.factorize(A, sym=sym, keep_q=True, dtype=dtype)
-    np.asarray(F.pool)  # block until the device work is done
+    F.pool.block_until_ready()
     t_fac = time.time() - t0
-    print(f"factorize: {t_fac:.4f}s  rank={F.rank}/{n}  tol={F.tol:.3g}")
+    # second call reuses the cached plan + compiled program — the
+    # analyze-once/factorize-many steady state (compile dominates call 1)
+    t0 = time.time()
+    F = sparseqr.factorize(A, sym=sym, keep_q=True, dtype=dtype)
+    F.pool.block_until_ready()
+    t_fac2 = time.time() - t0
+    print(f"factorize: {t_fac:.4f}s (incl. compile), steady-state "
+          f"{t_fac2:.4f}s  rank={F.rank}/{n}  tol={F.tol:.3g}")
 
     # solve-and-check (check_error, qrtest.c:11-53): B = A·X for known X
     rng = np.random.default_rng(0)
     X = rng.normal(size=(n, args.nrhs))
     B = (A @ X).astype(np.float32)
-    t0 = time.time()
     refine = 0 if args.dtype == "float64" else args.refine
+    t0 = time.time()
     Xh, _ = sparseqr.least_squares(A, B, F=F, refine=refine)
     t_solve = time.time() - t0
+    t0 = time.time()
+    Xh, _ = sparseqr.least_squares(A, B, F=F, refine=refine)
+    t_solve2 = time.time() - t0
     res = float(np.linalg.norm(np.asarray(Xh) - X) / n)
-    total = t_ana + t_fac
-    print(f"solve: {t_solve:.4f}s  ‖X̂−X‖/n = {res:.3e}")
+    total = t_ana + t_fac2
+    print(f"solve: {t_solve:.4f}s (incl. compile), steady-state "
+          f"{t_solve2:.4f}s  ‖X̂−X‖/n = {res:.3e}")
 
     with open(osp.join(args.results_dir, "QR_Time.txt"), "a") as f:
         f.write(f"{args.graph_id} {t_ana:.6f} {t_fac:.6f} {total:.6f} "

@@ -545,7 +545,9 @@ def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
                  for lv in plan.buckets for bk in lv]
         pool = (jnp.concatenate([store[k] for k in order])
                 if order else jnp.zeros(0, dtype))
-    diag = np.asarray(pool)[np.asarray(plan.diag_idx, np.int64)]
+    # gather the diagonal on device — pulling the whole pool to host costs
+    # seconds through the tunnel for big factors
+    diag = np.asarray(pool[jnp.asarray(plan.diag_idx)])
     t = default_tol(sym.m, sym.n, plan.maxcolnorm,
                     np.dtype(dtype)) if tol is None else tol
     return QRFactorization(sym=sym, plan=plan, pool=pool, tol=t,
