@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--loss", default="nll", choices=["nll", "regret"])
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--readout", default="max", choices=["max", "meanmax"])
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="per-epoch parameter EMA decay; the EMA competes "
+                         "for best_params (0 = off)")
+    ap.add_argument("--out", default=None,
+                    help="final best-checkpoint path (default: "
+                         "<ckpt-dir>/../graphmodel_best.msgpack)")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     args = ap.parse_args()
     if args.platform == "cpu":
@@ -127,6 +133,7 @@ def main():
                 seed=args.seed + cycle * 100 + si,
                 init_params=params, init_opt_state=opt_state,
                 init_best=None if best_params is None else (best_params, best_acc),
+                ema_decay=args.ema,
             )
             params, opt_state = res.params, res.opt_state
             best_params, best_acc = res.best_params, res.best_val_accuracy
@@ -145,9 +152,10 @@ def main():
             )
     import flax.serialization
 
-    with open(osp.join(args.ckpt_dir, "..", "graphmodel_best.msgpack"), "wb") as f:
+    out = args.out or osp.join(args.ckpt_dir, "..", "graphmodel_best.msgpack")
+    with open(out, "wb") as f:
         f.write(flax.serialization.to_bytes({"params": best_params}))
-    print(f"best val accuracy: {best_acc:.4f}")
+    print(f"best val accuracy: {best_acc:.4f} -> {out}")
 
 
 if __name__ == "__main__":
