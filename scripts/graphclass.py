@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--no-ell", action="store_true",
                     help="disable the precomputed-ELL scatter-free SpMM path")
     ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="per-epoch parameter EMA decay (minibatch modes); "
+                         "the EMA competes for the best checkpoint")
     ap.add_argument("--extra-train-root", default=None,
                     help="optional second dataset root whose TRAIN split is "
                     "appended to the training graphs (data augmentation)")
@@ -121,6 +124,7 @@ def main():
                 model, sb, vg, epochs=args.epochs,
                 learning_rate=args.lr, weight_decay=args.weight_decay,
                 seed=args.seed, progress=True, ells=ells,
+                ema_decay=args.ema,
             )
         dt = time.time() - t0
         for e in range(0, args.epochs, max(args.eval_every, 1)):
