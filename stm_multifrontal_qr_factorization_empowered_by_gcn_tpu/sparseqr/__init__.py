@@ -36,7 +36,9 @@ from .symbolic import (
     column_etree,
     postorder,
 )
-from .numeric import QRFactorization, factorize, factorize_numpy
+from .numeric import (
+    QRFactorization, factorize, factorize_numpy, factorize_taskparallel,
+)
 from .solve import qmult, rsolve, least_squares, lq_min_norm_solve
 
 __all__ = [
@@ -44,5 +46,6 @@ __all__ = [
     "ORDER_NATURAL", "ORDER_GIVEN",
     "SymbolicQR", "analyze", "column_etree", "postorder",
     "QRFactorization", "factorize", "factorize_numpy",
+    "factorize_taskparallel",
     "qmult", "rsolve", "least_squares", "lq_min_norm_solve",
 ]

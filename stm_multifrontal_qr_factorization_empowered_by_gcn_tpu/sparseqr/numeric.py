@@ -105,9 +105,13 @@ class QRPlan:
     pool_size: int = 0                # padded pool (fn_pad² per front)
     ell_K: int = 0                    # ELL width (max nnz per used S row)
     ell_perm: np.ndarray = None       # (total_srows, K) → St.data | −1
+    bucket_group: List[int] = None    # task-group id per buckets[] entry
+    num_groups: int = 0               # 0 = ungrouped plan
 
 
-def build_plan(sym: SymbolicQR, S: sp.csc_matrix) -> QRPlan:
+def build_plan(sym: SymbolicQR, S: sp.csc_matrix,
+               groups: Optional[np.ndarray] = None,
+               num_groups: int = 0) -> QRPlan:
     """Lower the symbolic factorization to a static, row-granular plan.
 
     TPU rules encoded here (measured on v5e):
@@ -126,16 +130,31 @@ def build_plan(sym: SymbolicQR, S: sp.csc_matrix) -> QRPlan:
     Rp, Rj = St.indptr, St.indices
     fronts = sym.fronts
 
+    # level schedule, optionally group-major (task-parallel execution:
+    # groups < num_groups are independent subtree sets, group num_groups is
+    # the shared top — the reference's streaming-task layout)
+    if groups is None:
+        level_lists = list(sym.levels)
+        bucket_group: List[int] = [0] * len(level_lists)
+    else:
+        level_lists, bucket_group = [], []
+        for g in range(num_groups + 1):
+            for level_fids in sym.levels:
+                sel = [fid for fid in level_fids if groups[fid] == g]
+                if sel:
+                    level_lists.append(sel)
+                    bucket_group.append(g)
+
     # ---- pass 1: buckets + padded pool offsets ---------------------------
     buckets: List[List[Bucket]] = []
     pool_total = 0
-    for li, level_fids in enumerate(sym.levels):
-        groups: Dict[Tuple[int, int], Bucket] = {}
+    for li, level_fids in enumerate(level_lists):
+        shape_groups: Dict[Tuple[int, int], Bucket] = {}
         for fid in level_fids:
             f = fronts[fid]
             key = (_pad_dim(max(f.fm, f.fn)), _pad_dim(f.fn))
-            groups.setdefault(key, Bucket([], *key)).fids.append(fid)
-        level_buckets = list(groups.values())
+            shape_groups.setdefault(key, Bucket([], *key)).fids.append(fid)
+        level_buckets = list(shape_groups.values())
         for bi, bucket in enumerate(level_buckets):
             bucket.pool_base = pool_total
             bucket.level_idx = li
@@ -231,7 +250,9 @@ def build_plan(sym: SymbolicQR, S: sp.csc_matrix) -> QRPlan:
         S.multiply(S).sum(axis=0)).ravel()) if S.nnz else np.zeros(1)
     return QRPlan(sym=sym, St=St, buckets=buckets, diag_idx=diag_idx,
                   maxcolnorm=float(colnorms.max(initial=0.0)),
-                  pool_size=pool_total, ell_K=K, ell_perm=ell_perm)
+                  pool_size=pool_total, ell_K=K, ell_perm=ell_perm,
+                  bucket_group=bucket_group,
+                  num_groups=0 if groups is None else num_groups)
 
 
 def ell_values(plan: QRPlan, St: Optional[sp.csr_matrix] = None) -> np.ndarray:
@@ -437,20 +458,22 @@ def _make_fused_run(levels: List[List[Bucket]], keep_q: bool,
     metas = [[_bucket_meta(bk) for bk in level] for level in levels]
     arrays = tuple(tuple(_bucket_arrays(bk) for bk in level)
                    for level in levels)
+    keys = [[(bk.level_idx, bk.bucket_idx) for bk in level]
+            for level in levels]
 
     @partial(jax.jit, static_argnums=())
     def _run(_pool_unused, vals_ell, arrs):
         qs = []
         slabs = {}
         order = []
-        for li, (level_meta, level_arr) in enumerate(zip(metas, arrs)):
-            for bi, (bm, ba) in enumerate(zip(level_meta, level_arr)):
+        for level_meta, level_arr, level_keys in zip(metas, arrs, keys):
+            for bm, ba, k in zip(level_meta, level_arr, level_keys):
                 F = _assemble(bm, ba, slabs, vals_ell, dtype)
                 Q, R = _factor_bucket(F, keep_q)
                 if keep_q:
                     qs.append(Q)
-                slabs[(li, bi)] = _extract_rf(R, bm[2])
-                order.append((li, bi))
+                slabs[k] = _extract_rf(R, bm[2])
+                order.append(k)
         pool = (jnp.concatenate([slabs[k] for k in order])
                 if order else jnp.zeros(0, dtype))
         return pool, qs
@@ -463,28 +486,39 @@ def _make_fused_run(levels: List[List[Bucket]], keep_q: bool,
     return run
 
 
-def _make_level_run(level_idx: int, level: List[Bucket], keep_q: bool,
+def _make_group_run(bucket_lists: List[List[Bucket]], keep_q: bool,
                     dtype=jnp.float32):
-    """One level as its own program (deep-plan fallback): consumes the
-    child slabs it needs as arguments, returns this level's slabs."""
-    needed = sorted({(sl, sb) for bk in level
-                     for (sl, sb, *_rest) in bk.cb_groups})
-    metas = [_bucket_meta(bk) for bk in level]
-    arrays = tuple(_bucket_arrays(bk) for bk in level)
+    """A subset of the schedule as its own program: consumes externally
+    produced slabs as arguments, returns its own slabs (keyed by the
+    buckets' global (level_idx, bucket_idx)).  Used for the deep-plan
+    per-level fallback and for task-parallel per-device group execution."""
+    produced = [(bk.level_idx, bk.bucket_idx)
+                for lv in bucket_lists for bk in lv]
+    internal = set(produced)
+    needed = sorted({(sl, sb) for lv in bucket_lists for bk in lv
+                     for (sl, sb, *_rest) in bk.cb_groups}
+                    - internal)
+    metas = [[_bucket_meta(bk) for bk in lv] for lv in bucket_lists]
+    arrays = tuple(tuple(_bucket_arrays(bk) for bk in lv)
+                   for lv in bucket_lists)
+    keys = [[(bk.level_idx, bk.bucket_idx) for bk in lv]
+            for lv in bucket_lists]
 
     @jax.jit
     def _run(vals_ell, in_slabs, arrs):
         slabs = dict(zip(needed, in_slabs))
         outs, qs = [], []
-        for bm, ba in zip(metas, arrs):
-            F = _assemble(bm, ba, slabs, vals_ell, dtype)
-            Q, R = _factor_bucket(F, keep_q)
-            if keep_q:
-                qs.append(Q)
-            outs.append(_extract_rf(R, bm[2]))
+        for level_meta, level_arr, level_keys in zip(metas, arrs, keys):
+            for bm, ba, k in zip(level_meta, level_arr, level_keys):
+                F = _assemble(bm, ba, slabs, vals_ell, dtype)
+                Q, R = _factor_bucket(F, keep_q)
+                if keep_q:
+                    qs.append(Q)
+                slabs[k] = _extract_rf(R, bm[2])
+                outs.append(slabs[k])
         return tuple(outs), qs
 
-    return needed, lambda vals, ins: _run(vals, ins, arrays)
+    return needed, produced, lambda vals, ins: _run(vals, ins, arrays)
 
 
 def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
@@ -530,15 +564,15 @@ def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
         # slabs thread between the per-level dispatches
         runs = cache.get(("perlevel", keep_q, dkey))
         if runs is None:
-            runs = [_make_level_run(li, lv, keep_q, dtype)
-                    for li, lv in enumerate(plan.buckets)]
+            runs = [_make_group_run([lv], keep_q, dtype)
+                    for lv in plan.buckets]
             cache[("perlevel", keep_q, dkey)] = runs
             sym._fused = cache
         store = {}
-        for li, (lv, (needed, run)) in enumerate(zip(plan.buckets, runs)):
+        for (needed, produced, run) in runs:
             outs, qs = run(vals, tuple(store[k] for k in needed))
-            for bi, slab in enumerate(outs):
-                store[(li, bi)] = slab
+            for k, slab in zip(produced, outs):
+                store[k] = slab
             if keep_q:
                 q_data.append(list(qs))
         order = [(bk.level_idx, bk.bucket_idx)
@@ -553,3 +587,87 @@ def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
     return QRFactorization(sym=sym, plan=plan, pool=pool, tol=t,
                            rank=int((np.abs(diag) > t).sum()), diag=diag,
                            backend="jax", q_data=q_data, dtype=dtype)
+
+
+def factorize_taskparallel(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
+                           ordering: int = ORDER_COLAMD,
+                           tol: Optional[float] = None,
+                           devices: Optional[Sequence] = None,
+                           dtype=jnp.float32) -> QRFactorization:
+    """Multi-device multifrontal QR — the reference's *streaming task
+    mapping* (TPSM, ``SparseQR_multithreads.c:14-115`` +
+    ``SparseQR_analyze.c:705-860``) retargeted from NUMA-pinned threads to
+    mesh devices: the front forest is cut into flop-balanced independent
+    subtree groups, each group's level schedule runs as its own program on
+    its own device (JAX dispatches them asynchronously, so groups execute
+    concurrently), and the shared top consumes the group roots'
+    contribution blocks on device 0 — the tag barrier of the reference
+    becomes XLA dataflow through transferred slabs.
+
+    R-only (Q application is not supported in this mode; use the
+    seminormal solve).  Produces a pool bit-compatible with the
+    single-device layout, so all solve paths work unchanged.
+    """
+    from .symbolic import partition_tasks
+
+    A = sp.csc_matrix(A)
+    if sym is None:
+        sym = analyze(A, ordering)
+    devices = list(devices if devices is not None else jax.devices())
+    P = len(devices)
+    S = A[:, sym.q].tocsc()
+
+    cache = getattr(sym, "_tp_cache", None)
+    if cache is None or cache["P"] != P:
+        groups = partition_tasks(sym, P)
+        plan = build_plan(sym, S, groups=groups, num_groups=P)
+        group_lists = [[] for _ in range(P + 1)]
+        for lv, g in zip(plan.buckets, plan.bucket_group):
+            group_lists[g].append(lv)
+        runs = [_make_group_run(gl, False, dtype) if gl else None
+                for gl in group_lists]
+        cache = {"P": P, "plan": plan, "runs": runs}
+        sym._tp_cache = cache
+        # note: grouped plan rebinds front pool offsets; invalidate the
+        # single-device caches tied to the old layout
+        sym._plan = plan
+        sym._fused = {}
+        for stale in ("_rsolve_plan", "_q_plan", "_rsolve_runs", "_q_runs"):
+            if hasattr(plan, stale):
+                delattr(plan, stale)
+    plan, runs = cache["plan"], cache["runs"]
+
+    Stv = S.tocsr()
+    Stv.sum_duplicates()
+    vals_host = ell_values(plan, Stv).astype(np.dtype(dtype))
+    vals_dev = [jax.device_put(vals_host, d) for d in devices]
+
+    store = {}
+    # dispatch the P independent groups (async — they run concurrently)
+    for g in range(P):
+        if runs[g] is None:
+            continue
+        needed, produced, run = runs[g]
+        assert not needed, "independent groups consume no external slabs"
+        outs, _ = run(vals_dev[g], ())
+        for k, slab in zip(produced, outs):
+            store[k] = slab
+    # top group on device 0, consuming transferred group-root slabs
+    if runs[P] is not None:
+        needed, produced, run = runs[P]
+        ins = tuple(jax.device_put(store[k], devices[0]) for k in needed)
+        outs, _ = run(vals_dev[0], ins)
+        for k, slab in zip(produced, outs):
+            store[k] = slab
+
+    order = [(bk.level_idx, bk.bucket_idx)
+             for lv in plan.buckets for bk in lv]
+    pool = (jnp.concatenate([jax.device_put(store[k], devices[0])
+                             for k in order])
+            if order else jnp.zeros(0, dtype))
+    diag = np.asarray(pool[jnp.asarray(plan.diag_idx)])
+    t = default_tol(sym.m, sym.n, plan.maxcolnorm,
+                    np.dtype(dtype)) if tol is None else tol
+    return QRFactorization(sym=sym, plan=plan, pool=pool, tol=t,
+                           rank=int((np.abs(diag) > t).sum()), diag=diag,
+                           backend="jax", dtype=dtype)

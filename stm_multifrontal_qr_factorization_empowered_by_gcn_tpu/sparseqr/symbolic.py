@@ -417,3 +417,68 @@ def _finish_symbolic(m, n, q, parent, fronts: List[Front],
                       levels=levels, col_to_front=col_to_front,
                       pool_size=pool_off, nnz_R=nnz_R, flops=flops,
                       ordering=ordering)
+
+
+def partition_tasks(sym: SymbolicQR, num_tasks: int) -> np.ndarray:
+    """Flop-weighted partition of the front forest into independent subtree
+    groups + a shared top — the reference's *streaming task mapping*
+    (``SparseQR_analyze.c:705-860``: ``big_flops = total/SPQR_grain`` tree
+    cut, small-task merging, one stack per chain), retargeted at devices
+    instead of NUMA-pinned threads.
+
+    Returns ``group[fid] ∈ {0..num_tasks}``: groups ``< num_tasks`` are
+    mutually independent subtree sets (no front depends on another group),
+    group ``num_tasks`` is the top set (ancestors of the task roots, which
+    may consume any group's contribution blocks).
+    """
+    nf = len(sym.fronts)
+    per_front = np.zeros(nf)
+    for f in sym.fronts:
+        fm_eff = max(f.fm, f.fn)
+        per_front[f.fid] = 2.0 * f.fn * f.fn * (fm_eff - f.fn / 3.0)
+    subtree = per_front.copy()
+    for f in sym.fronts:  # ascending fid = children first
+        if f.parent != -1:
+            subtree[f.parent] += subtree[f.fid]
+    total = float(subtree[[f.fid for f in sym.fronts if f.parent == -1]].sum())
+    target = max(total / max(2 * num_tasks, 1), 1.0)
+
+    # task roots: maximal subtrees with flops ≤ target
+    is_root = np.zeros(nf, bool)
+
+    def mark(fid):
+        f = sym.fronts[fid]
+        if subtree[fid] <= target or not f.children:
+            is_root[fid] = True
+            return
+        for c in f.children:
+            mark(c)
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, nf + 100))
+    try:
+        for f in sym.fronts:
+            if f.parent == -1:
+                mark(f.fid)
+    finally:
+        sys.setrecursionlimit(old)
+
+    # LPT-pack task subtrees into num_tasks bins
+    roots = np.nonzero(is_root)[0]
+    order = roots[np.argsort(-subtree[roots])]
+    load = np.zeros(num_tasks)
+    group = np.full(nf, num_tasks, np.int32)  # default: top
+
+    def paint(fid, g):
+        stack = [fid]
+        while stack:
+            j = stack.pop()
+            group[j] = g
+            stack.extend(sym.fronts[j].children)
+
+    for r in order:
+        g = int(np.argmin(load))
+        load[g] += subtree[r]
+        paint(int(r), g)
+    return group
