@@ -523,7 +523,8 @@ def _make_group_run(bucket_lists: List[List[Bucket]], keep_q: bool,
 
 def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
               ordering: int = ORDER_COLAMD, tol: Optional[float] = None,
-              keep_q: bool = False, dtype=jnp.float32) -> QRFactorization:
+              keep_q: bool = False, dtype=jnp.float32,
+              given=None) -> QRFactorization:
     """Level-batched multifrontal QR on the default JAX backend.
 
     ``keep_q=True`` retains each bucket's batched per-front orthogonal
@@ -532,7 +533,7 @@ def factorize(A: sp.spmatrix, sym: Optional[SymbolicQR] = None,
     (``SparseQR.c:1838``)."""
     A = sp.csc_matrix(A)
     if sym is None:
-        sym = analyze(A, ordering)
+        sym = analyze(A, ordering, given=given)
     S = A[:, sym.q].tocsc()
     # plan index arrays depend only on the structure — cache on the symbolic
     # object so repeated factorizations (new values, same pattern) skip the
