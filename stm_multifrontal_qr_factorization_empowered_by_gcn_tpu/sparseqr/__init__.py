@@ -40,6 +40,9 @@ from .numeric import (
     QRFactorization, factorize, factorize_numpy, factorize_taskparallel,
 )
 from .solve import qmult, rsolve, least_squares, lq_min_norm_solve
+from .cholesky import (
+    CholFactorization, analyze_spd, chol_solve, cholesky_factorize,
+)
 
 __all__ = [
     "ORDER_AMD", "ORDER_COLAMD", "ORDER_METIS", "ORDER_NESDIS",
@@ -48,4 +51,5 @@ __all__ = [
     "QRFactorization", "factorize", "factorize_numpy",
     "factorize_taskparallel",
     "qmult", "rsolve", "least_squares", "lq_min_norm_solve",
+    "CholFactorization", "analyze_spd", "chol_solve", "cholesky_factorize",
 ]
