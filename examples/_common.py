@@ -30,3 +30,52 @@ def synthetic_planetoid(n=500, f=64, classes=7, seed=0):
     masks["val"] = np.zeros(n, bool); masks["val"][idx[n // 2 : 3 * n // 4]] = True
     masks["test"] = np.zeros(n, bool); masks["test"][idx[3 * n // 4 :]] = True
     return g, masks
+
+
+def train_node_model(net, *, epochs=100, lr=0.01, weight_decay=5e-4,
+                     n=500, f=64, classes=7, seed=0, log_every=20):
+    """Shared full-batch node-classification loop (the reference's
+    ``examples/cora.py``-style train/val/test protocol): Adam(W), NLL on the
+    train mask, report val/test accuracy.  ``net.apply(params, x, s, r,
+    train=..., rngs=...)`` must return per-node log-probabilities."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    g, masks = synthetic_planetoid(n=n, f=f, classes=classes, seed=seed)
+    x = jnp.asarray(g.nodes)
+    s = jnp.asarray(g.senders)
+    r = jnp.asarray(g.receivers)
+    y = jnp.asarray(g.y)
+    masks = {k: jnp.asarray(v) for k, v in masks.items()}
+
+    params = net.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, x, s, r)
+    opt = optax.adamw(lr, weight_decay=weight_decay)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, key):
+        def loss_fn(p):
+            out = net.apply(p, x, s, r, train=True, rngs={"dropout": key})
+            ll = -jnp.take_along_axis(out, y[:, None], 1)[:, 0]
+            return jnp.sum(ll * masks["train"]) / masks["train"].sum()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, upd), state, loss
+
+    @jax.jit
+    def accuracy(params, mask):
+        pred = jnp.argmax(net.apply(params, x, s, r), -1)
+        return jnp.sum((pred == y) * mask) / mask.sum()
+
+    key = jax.random.PRNGKey(2)
+    for epoch in range(1, epochs + 1):
+        key, sub = jax.random.split(key)
+        params, state, loss = step(params, state, sub)
+        if epoch % log_every == 0 or epoch == epochs:
+            print(f"epoch {epoch:4d}  loss {float(loss):.4f}  "
+                  f"val {float(accuracy(params, masks['val'])):.4f}")
+    test = float(accuracy(params, masks["test"]))
+    print(f"test accuracy: {test:.4f}")
+    return test
