@@ -32,6 +32,30 @@ def synthetic_planetoid(n=500, f=64, classes=7, seed=0):
     return g, masks
 
 
+def synthetic_pointclouds(num=96, points=64, seed=0):
+    """3-class shape dataset (the reference's ModelNet/MNIST-superpixel
+    role): points sampled on a sphere, a cube surface, or two blobs."""
+    rng = np.random.default_rng(seed)
+    clouds, labels = [], []
+    for i in range(num):
+        cls = i % 3
+        if cls == 0:  # unit sphere surface
+            v = rng.normal(size=(points, 3))
+            p = v / np.linalg.norm(v, axis=1, keepdims=True)
+        elif cls == 1:  # cube surface: one coordinate pinned to ±1
+            p = rng.uniform(-1, 1, size=(points, 3))
+            ax = rng.integers(0, 3, points)
+            p[np.arange(points), ax] = np.sign(p[np.arange(points), ax])
+        else:  # two Gaussian blobs
+            c = np.where(rng.random(points) < 0.5, 1.0, -1.0)
+            p = 0.25 * rng.normal(size=(points, 3))
+            p[:, 0] += c
+        sc = 0.9 + 0.2 * rng.random()
+        clouds.append((sc * p).astype(np.float32))
+        labels.append(cls)
+    return clouds, np.asarray(labels, np.int32)
+
+
 def train_node_model(net, *, epochs=100, lr=0.01, weight_decay=5e-4,
                      n=500, f=64, classes=7, seed=0, log_every=20):
     """Shared full-batch node-classification loop (the reference's
