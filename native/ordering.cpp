@@ -224,8 +224,10 @@ MDResult min_degree(const Adj& a, const int32_t* given_order /*nullable*/,
     for (int32_t e : eladj[v]) {
       for (int32_t u : elnodes[e])
         if (!eliminated[u] && !mark[u]) { mark[u] = 1; boundary.push_back(u); }
+      // absorbed: clear() keeps capacity (a shrink_to_fit here reallocates
+      // on every absorption and dominated the profile; freeing is deferred
+      // to scope exit — elimination order is unaffected)
       elnodes[e].clear();
-      elnodes[e].shrink_to_fit();  // absorbed
     }
 
     const int64_t lk = (int64_t)boundary.size();
@@ -261,7 +263,6 @@ MDResult min_degree(const Adj& a, const int32_t* given_order /*nullable*/,
     for (int32_t u : boundary) mark[u] = 0;
     mark[v] = 0;
     varadj[v].clear();
-    varadj[v].shrink_to_fit();
     eladj[v].clear();
   }
   return res;

@@ -127,9 +127,35 @@ int stm_qr_fronts(int32_t m, int32_t n, const int64_t* Rp, const int32_t* Rj,
 
   // ---- per-column patterns via the frontal union rule --------------------
   // C_j = {j} ∪ cols(rows with leftmost j) ∪ (∪_children C_c \ {c}),
-  // collected with an epoch-marker array, then sorted.
+  // collected with an epoch-marker array.  Patterns are kept UNSORTED with
+  // the invariant pat[j][0] == j (the pivot); a child's pattern is consumed
+  // exactly once (by its etree parent) and freed immediately, and a
+  // fundamental chain telescopes — C_{j+1} = C_j \ {j} when
+  // |C_{j+1}| = |C_j| − 1 and parent[j] = j+1 — so a supernode's pattern is
+  // its LAST column's pattern plus the earlier pivots, with no per-column
+  // sort and no chain-union pass (only live fronts are sorted at emission;
+  // output is bit-identical to the sorted-per-column formulation).
   std::vector<std::vector<int32_t>> pat(n);
   std::vector<int32_t> mark(n, -1);
+  std::vector<int64_t> col_pat_size(n, 0);
+  std::vector<int32_t> sn_first, sn_last;
+  std::vector<std::vector<int32_t>> spat;
+  std::vector<int64_t> sn_nzreal;
+  auto close_sn = [&](int32_t last) {
+    // supernode pattern = {first..last-1} ++ pat[last] (pat[last][0]==last)
+    int32_t first = sn_first.back();
+    sn_last.push_back(last);
+    std::vector<int32_t> out;
+    out.reserve((last - first) + pat[last].size());
+    for (int32_t j = first; j < last; ++j) out.push_back(j);
+    out.insert(out.end(), pat[last].begin(), pat[last].end());
+    spat.push_back(std::move(out));
+    // member sizes telescope from the last column's size
+    int64_t s_last = col_pat_size[last];
+    int64_t len = last - first + 1;
+    sn_nzreal.push_back(len * s_last + len * (len - 1) / 2);
+  };
+  std::vector<int32_t> sn_of(n);
   for (int32_t j = 0; j < n; ++j) {
     std::vector<int32_t>& out = pat[j];
     out.push_back(j);
@@ -146,32 +172,30 @@ int stm_qr_fronts(int32_t m, int32_t n, const int64_t* Rp, const int32_t* Rj,
     }
     for (int32_t c = chead[j]; c != -1; c = cnext[c]) {
       const std::vector<int32_t>& pc = pat[c];
-      for (size_t t = 1; t < pc.size(); ++t) {  // skip the child's pivot
+      for (size_t t = 1; t < pc.size(); ++t) {  // entry 0 is the pivot c
         if (mark[pc[t]] != j) {
           mark[pc[t]] = j;
           out.push_back(pc[t]);
         }
       }
     }
-    std::sort(out.begin(), out.end());
-  }
-
-  // ---- fundamental supernodes --------------------------------------------
-  std::vector<int32_t> sn_first;
-  std::vector<int32_t> sn_of(n);
-  for (int32_t j = 0; j < n; ++j) {
+    col_pat_size[j] = static_cast<int64_t>(out.size());
     if (j > 0 && parent[j - 1] == j &&
-        pat[j].size() == pat[j - 1].size() - 1) {
-      sn_of[j] = sn_of[j - 1];
+        col_pat_size[j] == col_pat_size[j - 1] - 1) {
+      sn_of[j] = sn_of[j - 1];  // chain continues; j−1 was interior
     } else {
+      if (j > 0) close_sn(j - 1);
       sn_of[j] = static_cast<int32_t>(sn_first.size());
       sn_first.push_back(j);
     }
+    // children consumed; their patterns are no longer needed (the closing
+    // supernode above copied what it needed from pat[j−1])
+    for (int32_t c = chead[j]; c != -1; c = cnext[c]) {
+      std::vector<int32_t>().swap(pat[c]);
+    }
   }
+  if (n > 0) close_sn(n - 1);
   int32_t nsn = static_cast<int32_t>(sn_first.size());
-  std::vector<int32_t> sn_last(nsn);
-  for (int32_t k = 0; k < nsn; ++k)
-    sn_last[k] = (k + 1 < nsn) ? sn_first[k + 1] - 1 : n - 1;
   std::vector<int32_t> sn_parent(nsn, -1);
   for (int32_t k = 0; k < nsn; ++k) {
     int32_t p = parent[sn_last[k]];
@@ -182,31 +206,6 @@ int stm_qr_fronts(int32_t m, int32_t n, const int64_t* Rp, const int32_t* Rj,
   std::vector<int32_t> merged_into(nsn, -1);
   std::vector<int32_t> lo(sn_first), hi(nsn);  // pivot range per live sn
   for (int32_t k = 0; k < nsn; ++k) hi[k] = sn_last[k] + 1;
-  // per-supernode pattern = union of member column patterns (merged lazily)
-  std::vector<std::vector<int32_t>> spat(nsn);
-  for (int32_t k = 0; k < nsn; ++k) {
-    // union over a fundamental chain = pattern of its first column plus the
-    // later pivots (telescoping), which the first pattern already contains
-    // except... safest: explicit union with the marker (epoch = n + k).
-    std::vector<int32_t>& out = spat[k];
-    int32_t epoch = n + k;
-    for (int32_t j = sn_first[k]; j <= sn_last[k]; ++j) {
-      for (int32_t c : pat[j]) {
-        if (mark[c] != epoch) {
-          mark[c] = epoch;
-          out.push_back(c);
-        }
-      }
-    }
-    std::sort(out.begin(), out.end());
-  }
-  // per-column pattern sizes retained for the zero-fraction estimate
-  std::vector<int64_t> col_pat_size(n);
-  for (int32_t j = 0; j < n; ++j) col_pat_size[j] = pat[j].size();
-  std::vector<int64_t> sn_nzreal(nsn, 0);
-  for (int32_t k = 0; k < nsn; ++k)
-    for (int32_t j = sn_first[k]; j <= sn_last[k]; ++j)
-      sn_nzreal[k] += col_pat_size[j];
 
   auto find_live = [&](int32_t k) {
     while (merged_into[k] != -1) k = merged_into[k];
@@ -234,8 +233,7 @@ int stm_qr_fronts(int32_t m, int32_t n, const int64_t* Rp, const int32_t* Rj,
         1.0 - static_cast<double>(nz_real) /
                   static_cast<double>(std::max<int64_t>(nz_merged, 1));
     if ((hi[k] - lo[k]) <= nrelax || zeros_frac <= zrelax) {
-      std::sort(merged.begin(), merged.end());
-      spat[p] = std::move(merged);
+      spat[p] = std::move(merged);  // unsorted; live fronts sort at emission
       sn_nzreal[p] = nz_real;
       lo[p] = lo[k];
       merged_into[k] = p;
@@ -256,6 +254,7 @@ int stm_qr_fronts(int32_t m, int32_t n, const int64_t* Rp, const int32_t* Rj,
   int64_t cols_total = 0, srows_total = 0;
   for (int32_t t = 0; t < nf; ++t) {
     int32_t k = live[t];
+    std::sort(spat[k].begin(), spat[k].end());
     cols_total += static_cast<int64_t>(spat[k].size());
     srows_total += row_cnt[hi[k]] - row_cnt[lo[k]];
   }
