@@ -4,13 +4,14 @@ from .features import (
     extinfo_row, GraphFeatures,
 )
 from .readers import (
-    read_npz, read_off, read_planetoid_data, read_tu_data, read_txt_array,
+    read_npz, read_obj, read_off, read_planetoid_data, read_ply, read_sdf,
+    read_tu_data, read_txt_array,
 )
 
 __all__ = [
     "read_mtx", "to_csr", "Triplets",
     "compute_features", "features_from_mtx", "node_feature_table",
     "edge_table", "extinfo_row", "GraphFeatures",
-    "read_npz", "read_off", "read_planetoid_data", "read_tu_data",
-    "read_txt_array",
+    "read_npz", "read_obj", "read_off", "read_planetoid_data", "read_ply",
+    "read_sdf", "read_tu_data", "read_txt_array",
 ]

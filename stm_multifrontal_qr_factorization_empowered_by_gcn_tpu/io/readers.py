@@ -227,3 +227,113 @@ def read_off(path: str) -> Graph:
         n_node=np.asarray([nv], np.int32),
         n_edge=np.asarray([len(s)], np.int32),
     )
+
+
+def _mesh_graph(pos: np.ndarray, faces) -> Graph:
+    """Vertices as nodes, per-face ring edges both ways (read_off's
+    convention — the reference keeps a ``face`` tensor instead)."""
+    s, r = [], []
+    for face in faces:
+        for i in range(len(face)):
+            a, b = face[i], face[(i + 1) % len(face)]
+            s += [a, b]
+            r += [b, a]
+    return Graph(
+        nodes=np.asarray(pos, np.float32),
+        senders=np.asarray(s, np.int32),
+        receivers=np.asarray(r, np.int32),
+        n_node=np.asarray([len(pos)], np.int32),
+        n_edge=np.asarray([len(s)], np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OBJ meshes
+# ---------------------------------------------------------------------------
+
+def read_obj(path: str) -> Graph:
+    """reference ``io/obj.py`` — ``v``/``f`` records (1-based face ids)."""
+    vertices, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                vertices.append([float(t) for t in line.split()[1:4]])
+            elif line.startswith("f "):
+                faces.append([int(t.split("/")[0]) - 1 for t in line.split()[1:]])
+    if not vertices or not faces:
+        raise ValueError(f"{path}: no vertices/faces")
+    return _mesh_graph(np.asarray(vertices, np.float32), faces)
+
+
+# ---------------------------------------------------------------------------
+# ASCII PLY meshes
+# ---------------------------------------------------------------------------
+
+def read_ply(path: str) -> Graph:
+    """reference ``io/ply.py`` (which shells out to openmesh) — here a
+    self-contained ASCII-PLY parser: ``element vertex`` x/y/z properties and
+    ``element face`` vertex-index lists."""
+    with open(path) as f:
+        if f.readline().strip() != "ply":
+            raise ValueError(f"{path}: not a PLY file")
+        nv = nf = 0
+        order = []  # elements in declaration order
+        line = f.readline()
+        while line and line.strip() != "end_header":
+            t = line.split()
+            if t[:1] == ["format"] and t[1] != "ascii":
+                raise ValueError(f"{path}: only ascii PLY supported")
+            if t[:2] == ["element", "vertex"]:
+                nv = int(t[2]); order.append("v")
+            elif t[:2] == ["element", "face"]:
+                nf = int(t[2]); order.append("f")
+            line = f.readline()
+        pos, faces = [], []
+        for kind in order:
+            if kind == "v":
+                for _ in range(nv):
+                    pos.append([float(x) for x in f.readline().split()[:3]])
+            else:
+                for _ in range(nf):
+                    t = f.readline().split()
+                    faces.append([int(x) for x in t[1 : 1 + int(t[0])]])
+    return _mesh_graph(np.asarray(pos, np.float32), faces)
+
+
+# ---------------------------------------------------------------------------
+# SDF molecules
+# ---------------------------------------------------------------------------
+
+_SDF_ELEMS = {"H": 0, "C": 1, "N": 2, "O": 3, "F": 4}
+
+
+def read_sdf(path: str) -> Graph:
+    """reference ``io/sdf.py`` — one-hot atom types (H/C/N/O/F), symmetrized
+    coalesced bonds with 0-based bond-type edge attrs, positions stacked
+    after the one-hot block (the reference keeps them in ``pos``)."""
+    from ..utils.undirected import coalesce as _coalesce
+
+    with open(path) as f:
+        src = f.read().split("\n")[3:]
+    num_atoms, num_bonds = (int(t) for t in src[0].split()[:2])
+    atom_block = src[1 : num_atoms + 1]
+    pos = np.asarray(
+        [[float(t) for t in ln.split()[:3]] for ln in atom_block], np.float32
+    )
+    types = np.asarray([_SDF_ELEMS[ln.split()[3]] for ln in atom_block])
+    x = np.eye(len(_SDF_ELEMS), dtype=np.float32)[types]
+    bond_block = src[1 + num_atoms : 1 + num_atoms + num_bonds]
+    row = np.asarray([int(ln.split()[0]) - 1 for ln in bond_block])
+    col = np.asarray([int(ln.split()[1]) - 1 for ln in bond_block])
+    attr = np.asarray([float(ln.split()[2]) - 1 for ln in bond_block], np.float32)
+    ei = np.stack([np.concatenate([row, col]), np.concatenate([col, row])])
+    ea = np.concatenate([attr, attr])[:, None]
+    ei, ea = _coalesce(ei, ea, num_nodes=num_atoms, reduce="max")
+    return Graph(
+        nodes=np.concatenate([x, pos], axis=1),
+        senders=ei[0].astype(np.int32),
+        receivers=ei[1].astype(np.int32),
+        edges=ea,
+        n_node=np.asarray([num_atoms], np.int32),
+        n_edge=np.asarray([ei.shape[1]], np.int32),
+    )

@@ -129,3 +129,71 @@ def test_read_planetoid_data(tmp_path, rng):
     s, r = np.asarray(g.senders), np.asarray(g.receivers)
     fwd = set(zip(s.tolist(), r.tolist()))
     assert all((b, a) in fwd for a, b in fwd)
+
+
+def test_read_obj_mesh(tmp_path):
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.readers import read_obj
+
+    p = tmp_path / "mesh.obj"
+    p.write_text(
+        "# comment\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "f 1 2 3\nf 1/1 3/2 4/3\n"   # with and without texture indices
+    )
+    g = read_obj(str(p))
+    assert int(g.n_node[0]) == 4
+    fwd = set(zip(np.asarray(g.senders).tolist(), np.asarray(g.receivers).tolist()))
+    for a, b in [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]:
+        assert (a, b) in fwd and (b, a) in fwd
+
+
+def test_read_ply_ascii(tmp_path):
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.readers import read_ply
+
+    p = tmp_path / "mesh.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\ncomment synthetic\n"
+        "element vertex 3\nproperty float x\nproperty float y\nproperty float z\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0\n1 0 0\n0 1 0\n"
+        "3 0 1 2\n"
+    )
+    g = read_ply(str(p))
+    assert int(g.n_node[0]) == 3
+    np.testing.assert_allclose(g.nodes[1], [1, 0, 0])
+    assert int(g.n_edge[0]) == 6  # one triangle, both directions
+
+
+def test_read_ply_binary_rejected(tmp_path):
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.readers import read_ply
+
+    p = tmp_path / "mesh.ply"
+    p.write_text("ply\nformat binary_little_endian 1.0\nend_header\n")
+    with pytest.raises(ValueError, match="ascii"):
+        read_ply(str(p))
+
+
+def test_read_sdf_molecule(tmp_path):
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.io.readers import read_sdf
+
+    # minimal 3-atom water-like molecule, 2 single bonds (1-based ids)
+    p = tmp_path / "mol.sdf"
+    p.write_text(
+        "mol\n  prog\ncomment\n"
+        "  3  2  0  0  0  0  0  0  0  0999 V2000\n"
+        "    0.0000    0.0000    0.0000 O   0  0\n"
+        "    0.9600    0.0000    0.0000 H   0  0\n"
+        "   -0.2400    0.9300    0.0000 H   0  0\n"
+        "  1  2  1  0\n"
+        "  1  3  1  0\n"
+        "M  END\n"
+    )
+    g = read_sdf(str(p))
+    assert int(g.n_node[0]) == 3
+    # one-hot: atom 0 is O (index 3), atoms 1-2 are H (index 0)
+    assert g.nodes[0, 3] == 1.0 and g.nodes[1, 0] == 1.0
+    # positions stacked after the 5-dim one-hot block
+    np.testing.assert_allclose(g.nodes[1, 5:8], [0.96, 0.0, 0.0])
+    assert int(g.n_edge[0]) == 4  # 2 bonds symmetrized
+    assert np.all(np.asarray(g.edges) == 0.0)  # single bonds -> type 0
