@@ -66,3 +66,18 @@ def add_remaining_self_loops(
 def contains_self_loops(edge_index: np.ndarray) -> bool:
     edge_index = np.asarray(edge_index)
     return bool(np.any(edge_index[0] == edge_index[1]))
+
+
+def segregate_self_loops(
+    edge_index: np.ndarray, edge_attr: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray, Optional[np.ndarray]]:
+    """reference ``loop.py:segregate_self_loops`` — (edge_index, edge_attr,
+    loop_edge_index, loop_edge_attr)."""
+    edge_index = np.asarray(edge_index)
+    mask = edge_index[0] != edge_index[1]
+    loops = edge_index[:, ~mask]
+    kept = edge_index[:, mask]
+    if edge_attr is None:
+        return kept, None, loops, None
+    edge_attr = np.asarray(edge_attr)
+    return kept, edge_attr[mask], loops, edge_attr[~mask]

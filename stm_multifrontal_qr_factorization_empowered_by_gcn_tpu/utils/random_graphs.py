@@ -161,3 +161,53 @@ def dropout_adj(
     TPU-native formulation of reference ``utils/dropout.py:dropout_adj``)."""
     keep = jax.random.bernoulli(key, 1 - p, senders.shape)
     return keep if edge_mask is None else (keep & edge_mask)
+
+
+def structured_negative_sampling(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """reference ``negative_sampling.py:structured_negative_sampling`` — for
+    every positive edge (i, j) sample a k with (i, k) not an edge; returns
+    (i, j, k)."""
+    s = np.asarray(senders).astype(np.int64)
+    r = np.asarray(receivers).astype(np.int64)
+    pos = set((int(a) * num_nodes + int(b)) for a, b in zip(s, r))
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, num_nodes, len(s))
+    for t in range(len(s)):
+        while int(s[t]) * num_nodes + int(k[t]) in pos:
+            k[t] = rng.integers(0, num_nodes)
+    return s, r, k.astype(np.int64)
+
+
+def batched_negative_sampling(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    graph_ids: np.ndarray,
+    num_neg_samples: Optional[int] = None,
+    *,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """reference ``negative_sampling.py:batched_negative_sampling`` — sample
+    negatives per graph of a disconnected union (``graph_ids`` = the batch
+    vector over nodes), negatives never cross graphs."""
+    s = np.asarray(senders)
+    r = np.asarray(receivers)
+    gid = np.asarray(graph_ids)
+    out_s, out_r = [], []
+    for g in range(int(gid.max()) + 1):
+        nodes = np.nonzero(gid == g)[0]
+        lo, n = int(nodes.min()), len(nodes)
+        emask = gid[s] == g
+        ns, nr = negative_sampling(
+            s[emask] - lo, r[emask] - lo, n,
+            None if num_neg_samples is None else num_neg_samples,
+            seed=seed + g,
+        )
+        out_s.append(ns + lo)
+        out_r.append(nr + lo)
+    return np.concatenate(out_s).astype(np.int32), np.concatenate(out_r).astype(np.int32)

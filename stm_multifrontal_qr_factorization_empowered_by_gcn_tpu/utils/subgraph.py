@@ -78,3 +78,50 @@ def k_hop_subgraph(
         relabel[subset] = np.arange(len(subset))
         sub_s, sub_r = relabel[sub_s], relabel[sub_r]
     return subset, sub_s.astype(np.int32), sub_r.astype(np.int32), emask
+
+
+def contains_isolated_nodes(senders, receivers, num_nodes: int) -> bool:
+    """reference ``isolated.py:contains_isolated_nodes`` (self-loops do not
+    count as connectivity)."""
+    s = np.asarray(senders)
+    r = np.asarray(receivers)
+    keep = s != r
+    touched = np.zeros(num_nodes, bool)
+    touched[s[keep]] = True
+    touched[r[keep]] = True
+    return bool((~touched).any())
+
+
+def remove_isolated_nodes(senders, receivers, num_nodes: int,
+                          edge_attr=None):
+    """reference ``isolated.py:remove_isolated_nodes`` — relabels the
+    surviving nodes; returns (senders, receivers, edge_attr, node_mask)."""
+    s = np.asarray(senders)
+    r = np.asarray(receivers)
+    keep_e = s != r
+    mask = np.zeros(num_nodes, bool)
+    mask[s[keep_e]] = True
+    mask[r[keep_e]] = True
+    relabel = np.cumsum(mask) - 1
+    return (relabel[s].astype(s.dtype), relabel[r].astype(r.dtype),
+            None if edge_attr is None else np.asarray(edge_attr),
+            mask)
+
+
+# reference name for the node-induced subgraph (``utils/subgraph.py``)
+def subgraph(subset, senders, receivers, edge_attr=None, *,
+             num_nodes: int, relabel_nodes: bool = False):
+    """reference ``subgraph()`` — edges with BOTH endpoints in ``subset``;
+    returns (senders, receivers, edge_attr, edge_mask)."""
+    s = np.asarray(senders)
+    r = np.asarray(receivers)
+    keep = np.zeros(num_nodes, bool)
+    keep[np.asarray(subset)] = True
+    emask = keep[s] & keep[r]
+    s, r = s[emask], r[emask]
+    if relabel_nodes:
+        relabel = np.full(num_nodes, -1, np.int64)
+        relabel[np.asarray(subset)] = np.arange(len(np.asarray(subset)))
+        s, r = relabel[s].astype(np.int32), relabel[r].astype(np.int32)
+    ea = None if edge_attr is None else np.asarray(edge_attr)[emask]
+    return s, r, ea, emask

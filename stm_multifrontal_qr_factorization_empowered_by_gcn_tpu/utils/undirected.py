@@ -77,3 +77,14 @@ def sort_by_receiver(
     perm = np.argsort(edge_index[1], kind="stable")
     ea = None if edge_attr is None else np.asarray(edge_attr)[perm]
     return edge_index[:, perm], ea, perm
+
+
+def sort_edge_index(edge_index, edge_attr=None, *, num_nodes=None):
+    """reference ``utils/sort_edge_index.py`` — row-major (sender, receiver)
+    sort; returns (edge_index, edge_attr)."""
+    edge_index = np.asarray(edge_index)
+    n = (int(edge_index.max()) + 1) if num_nodes is None else int(num_nodes)
+    order = np.argsort(edge_index[0].astype(np.int64) * n + edge_index[1],
+                       kind="stable")
+    out = edge_index[:, order]
+    return out, (None if edge_attr is None else np.asarray(edge_attr)[order])
