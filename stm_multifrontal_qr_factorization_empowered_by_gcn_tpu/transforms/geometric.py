@@ -463,3 +463,93 @@ class GridSampling:
             pos=mean_pool(pos), face=None, x=mean_pool(data.x), y=y,
             norm=mean_pool(data.norm),
         )
+
+
+class ToSLIC:
+    """reference ``to_superpixels.py:ToSLIC`` — image → superpixel cloud:
+    mean color per superpixel in ``x``, centroid in ``pos`` (a
+    :class:`MeshData`, ready for :class:`KNNGraph`/:class:`RadiusGraph`).
+
+    Uses :func:`skimage.segmentation.slic` when scikit-image is installed;
+    otherwise falls back to a built-in minimal SLIC (localized k-means over
+    (color·m, x, y) with 2S×2S search windows — the reference hard-requires
+    scikit-image, ``to_superpixels.py:40-41``)."""
+
+    def __init__(self, n_segments: int = 75, compactness: float = 10.0,
+                 n_iter: int = 10, add_seg: bool = False, **kwargs):
+        self.n_segments = int(n_segments)
+        self.compactness = float(compactness)
+        self.n_iter = int(n_iter)
+        self.add_seg = add_seg
+        self.kwargs = kwargs
+
+    def _slic_numpy(self, img):
+        h, w, c = img.shape
+        s = max(int(np.sqrt(h * w / self.n_segments)), 1)
+        cy = np.arange(s // 2, h, s)
+        cx = np.arange(s // 2, w, s)
+        centers = np.asarray([(y, x) for y in cy for x in cx], np.float64)
+        k = len(centers)
+        feat = np.concatenate(
+            [img.reshape(-1, c),
+             np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"),
+                      -1).reshape(-1, 2)], axis=1)
+        # color scaled against the spatial term: m/S like SLIC's distance
+        m = self.compactness
+        cfeat = np.zeros((k, c + 2))
+        cfeat[:, c:] = centers
+        for j in range(k):
+            y, x = centers[j].astype(int)
+            cfeat[j, :c] = img[min(y, h - 1), min(x, w - 1)]
+        label = np.zeros(h * w, np.int64)
+        for _ in range(self.n_iter):
+            dist = np.full(h * w, np.inf)
+            for j in range(k):
+                y0 = int(max(cfeat[j, c] - s, 0)); y1 = int(min(cfeat[j, c] + s + 1, h))
+                x0 = int(max(cfeat[j, c + 1] - s, 0)); x1 = int(min(cfeat[j, c + 1] + s + 1, w))
+                yy, xx = np.meshgrid(np.arange(y0, y1), np.arange(x0, x1),
+                                     indexing="ij")
+                idx = (yy * w + xx).reshape(-1)
+                f = feat[idx]
+                dc = ((f[:, :c] - cfeat[j, :c]) ** 2).sum(1)
+                ds = ((f[:, c:] - cfeat[j, c:]) ** 2).sum(1)
+                dd = dc / (m * m) + ds / (s * s)
+                upd = dd < dist[idx]
+                dist[idx[upd]] = dd[upd]
+                label[idx[upd]] = j
+            for j in range(k):
+                mask = label == j
+                if mask.any():
+                    cfeat[j] = feat[mask].mean(0)
+        # compact labels (empty windows can lose all pixels)
+        uniq, label = np.unique(label, return_inverse=True)
+        return label.reshape(h, w)
+
+    def __call__(self, img):
+        img = np.asarray(img, np.float64)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[0] in (1, 3) and img.shape[0] < img.shape[2]:
+            img = np.transpose(img, (1, 2, 0))  # CHW -> HWC like the reference
+        h, w, c = img.shape
+        try:  # pragma: no cover - optional dependency
+            from skimage.segmentation import slic
+
+            seg = slic(img, start_label=0, n_segments=self.n_segments,
+                       compactness=self.compactness, **self.kwargs)
+        except ImportError:
+            seg = self._slic_numpy(img)
+        seg = np.asarray(seg).reshape(h * w)
+        k = int(seg.max()) + 1
+        x = np.zeros((k, c)); cnt = np.zeros(k)
+        np.add.at(x, seg, img.reshape(-1, c)); np.add.at(cnt, seg, 1)
+        x /= np.maximum(cnt, 1)[:, None]
+        yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                             np.arange(w, dtype=np.float64), indexing="ij")
+        pos = np.zeros((k, 2))
+        np.add.at(pos, seg, np.stack([xx.reshape(-1), yy.reshape(-1)], -1))
+        pos /= np.maximum(cnt, 1)[:, None]
+        out = MeshData(pos=pos.astype(np.float32), x=x.astype(np.float32))
+        if self.add_seg:
+            return out, seg.reshape(h, w)
+        return out

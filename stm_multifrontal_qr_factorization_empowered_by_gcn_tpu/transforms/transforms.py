@@ -14,6 +14,28 @@ import numpy as np
 from ..data.graph import Graph
 
 
+def _as_graph(g, pos):
+    """Accept a :class:`Graph` or a pre-graph :class:`~.geometric.MeshData`
+    (e.g. the output of :class:`~.geometric.ToSLIC`) — for MeshData, the
+    positions drive the knn/radius construction and ``x`` (or the positions)
+    become the node features."""
+    from .geometric import MeshData
+
+    if isinstance(g, MeshData):
+        p = np.asarray(g.pos, np.float32)
+        nodes = p if g.x is None else np.asarray(g.x, np.float32)
+        graph = Graph(
+            nodes=nodes,
+            senders=np.zeros(0, np.int32),
+            receivers=np.zeros(0, np.int32),
+            n_node=np.asarray([len(p)], np.int32),
+            n_edge=np.asarray([0], np.int32),
+            y=g.y,
+        )
+        return graph, (p if pos is None else pos)
+    return g, pos
+
+
 class Compose:
     """reference ``transforms/compose.py``"""
 
@@ -171,7 +193,8 @@ class KNNGraph:
         self.k = k
         self.loop = loop
 
-    def __call__(self, g: Graph, pos: Optional[np.ndarray] = None) -> Graph:
+    def __call__(self, g, pos: Optional[np.ndarray] = None) -> Graph:
+        g, pos = _as_graph(g, pos)
         pos = np.asarray(g.nodes if pos is None else pos, np.float32)
         d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
         if not self.loop:
@@ -191,7 +214,8 @@ class RadiusGraph:
         self.r = r
         self.loop = loop
 
-    def __call__(self, g: Graph, pos: Optional[np.ndarray] = None) -> Graph:
+    def __call__(self, g, pos: Optional[np.ndarray] = None) -> Graph:
+        g, pos = _as_graph(g, pos)
         pos = np.asarray(g.nodes if pos is None else pos, np.float32)
         d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
         if not self.loop:

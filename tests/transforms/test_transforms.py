@@ -108,3 +108,24 @@ def test_gdc_ppr_and_heat():
         np.add.at(sums, s, w)
         present = np.bincount(s, minlength=4) > 0
         np.testing.assert_allclose(sums[present], 1.0, rtol=1e-5)
+
+
+def test_to_slic_superpixels():
+    """ToSLIC (reference to_superpixels.py) with the built-in SLIC."""
+    import numpy as np
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.transforms import (
+        KNNGraph, ToSLIC)
+
+    img = np.zeros((20, 20, 3))
+    img[:, 10:] = 1.0
+    md = ToSLIC(n_segments=9)(img)
+    assert md.pos.shape[1] == 2 and md.x.shape[1] == 3
+    # mean colors split cleanly by side
+    left = md.x[md.pos[:, 0] < 8]
+    right = md.x[md.pos[:, 0] > 12]
+    assert left.mean() < 0.2 and right.mean() > 0.8
+    # CHW input accepted like the reference's torchvision tensors
+    md2 = ToSLIC(n_segments=9)(np.transpose(img, (2, 0, 1)))
+    assert md2.pos.shape == md.pos.shape
+    g = KNNGraph(k=3)(md)
+    assert int(g.n_edge[0]) == 3 * md.pos.shape[0]
