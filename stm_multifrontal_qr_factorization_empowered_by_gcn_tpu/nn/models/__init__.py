@@ -10,6 +10,7 @@ from .autoencoder import (
 )
 from .misc_models import (
     CorrectAndSmooth,
+    DeepGCNLayer,
     DeepGraphInfomax,
     GraphUNet,
     JumpingKnowledge,
@@ -28,8 +29,13 @@ from .signed_gcn import (
     split_edges,
 )
 from .tgn import LastNeighborLoader, TGNMemory, TGNState
+from .re_net import EventBatch, RENet, collate_events
 
 __all__ = [
+    "DeepGCNLayer",
+    "EventBatch",
+    "RENet",
+    "collate_events",
     "DimeNet",
     "DimeNetGraph",
     "dimenet_graph",

@@ -203,3 +203,52 @@ class GraphUNet(nn.Module):
             if d > 1:
                 h = self.act(h)
         return h
+
+
+class DeepGCNLayer(nn.Module):
+    """DeepGCN skip-connection wrapper — reference
+    ``nn/models/deepgcn.py:6-106``: ``res+`` (pre-activation: norm → act →
+    dropout → conv → +x), ``res``, ``dense`` (concat) and ``plain`` blocks.
+    The reference's ``ckpt_grad`` (torch ``checkpoint``) maps to
+    ``jax.checkpoint`` rematerialization — the TPU-native memory/compute
+    trade for going deep."""
+
+    conv: Callable
+    norm: Optional[Callable] = None
+    act: Optional[Callable] = None
+    block: str = "res+"
+    dropout: float = 0.0
+    ckpt_grad: bool = False
+
+    @nn.compact
+    def __call__(self, x, *args, train: bool = False, **kwargs):
+        assert self.block in ("res+", "res", "dense", "plain")
+        if self.ckpt_grad:
+            # lifted remat: flax's jax.checkpoint for submodules
+            rematted = nn.remat(lambda mdl, h: mdl(h, *args, **kwargs))
+
+            def conv_fn(h):
+                return rematted(self.conv, h)
+        else:
+            def conv_fn(h):
+                return self.conv(h, *args, **kwargs)
+
+        if self.block == "res+":
+            h = x
+            if self.norm is not None:
+                h = self.norm(h)
+            if self.act is not None:
+                h = self.act(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            return x + conv_fn(h)
+
+        h = conv_fn(x)
+        if self.norm is not None:
+            h = self.norm(h)
+        if self.act is not None:
+            h = self.act(h)
+        if self.block == "res":
+            h = x + h
+        elif self.block == "dense":
+            h = jnp.concatenate([x, h], axis=-1)
+        return nn.Dropout(self.dropout, deterministic=not train)(h)
