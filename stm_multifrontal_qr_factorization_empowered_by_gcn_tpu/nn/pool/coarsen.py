@@ -90,3 +90,77 @@ def graclus_pool(g: Graph, *, aggr: str = "mean", seed: int = 0) -> Tuple[Graph,
         seed=seed,
     )
     return pool_graph(cluster, g, aggr=aggr), cluster
+
+
+def _consecutive(cluster: np.ndarray) -> np.ndarray:
+    _, out = np.unique(np.asarray(cluster), return_inverse=True)
+    return out
+
+
+def avg_pool(cluster, g: Graph) -> Graph:
+    """reference ``nn/pool/avg_pool.py`` — coarsen by cluster, mean features."""
+    return pool_graph(_consecutive(cluster), g, aggr="mean")
+
+
+def max_pool(cluster, g: Graph) -> Graph:
+    """reference ``nn/pool/max_pool.py`` — coarsen by cluster, max features."""
+    return pool_graph(_consecutive(cluster), g, aggr="max")
+
+
+def avg_pool_x(cluster, x, graph_ids=None, *, num_clusters=None):
+    """reference ``avg_pool_x`` — pool FEATURES only; returns (x', batch')."""
+    import jax.numpy as jnp
+
+    cl = _consecutive(cluster)
+    c = int(cl.max()) + 1 if num_clusters is None else int(num_clusters)
+    from ...ops.segment import segment_mean
+
+    out = segment_mean(jnp.asarray(x), jnp.asarray(cl.astype(np.int32)), c)
+    if graph_ids is None:
+        return out, None
+    gb = np.zeros(c, np.int64)
+    gb[cl] = np.asarray(graph_ids)
+    return out, jnp.asarray(gb)
+
+
+def max_pool_x(cluster, x, graph_ids=None, *, num_clusters=None):
+    """reference ``max_pool_x`` — pool FEATURES only; returns (x', batch')."""
+    import jax.numpy as jnp
+
+    cl = _consecutive(cluster)
+    c = int(cl.max()) + 1 if num_clusters is None else int(num_clusters)
+    from ...ops.segment import segment_max
+
+    out = segment_max(jnp.asarray(x), jnp.asarray(cl.astype(np.int32)), c)
+    if graph_ids is None:
+        return out, None
+    gb = np.zeros(c, np.int64)
+    gb[cl] = np.asarray(graph_ids)
+    return out, jnp.asarray(gb)
+
+
+def _pool_neighbor_x(g: Graph, aggr: str) -> Graph:
+    import jax.numpy as jnp
+
+    from ...ops.segment import segment_max, segment_mean
+
+    n = int(np.sum(g.n_node))
+    x = jnp.asarray(g.nodes)
+    s = jnp.asarray(np.asarray(g.senders))
+    r = jnp.asarray(np.asarray(g.receivers))
+    seg = segment_mean if aggr == "mean" else segment_max
+    agg = seg(x[s], r, n)
+    # include the node itself like the reference (self-loop semantics)
+    out = (agg + x) / 2.0 if aggr == "mean" else jnp.maximum(agg, x)
+    return g.replace(nodes=np.asarray(out))
+
+
+def avg_pool_neighbor_x(g: Graph) -> Graph:
+    """reference ``avg_pool.py:avg_pool_neighbor_x`` — average each node
+    with its neighborhood (no coarsening)."""
+    return _pool_neighbor_x(g, "mean")
+
+
+def max_pool_neighbor_x(g: Graph) -> Graph:
+    """reference ``max_pool.py:max_pool_neighbor_x``."""
+    return _pool_neighbor_x(g, "max")

@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -77,3 +78,86 @@ def knn_graph(
     receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     senders = idx.reshape(-1).astype(jnp.int32)
     return senders, receivers
+
+
+def nearest(x, y, batch_x=None, batch_y=None):
+    """reference ``nn/pool/__init__`` ``nearest`` (torch-cluster role):
+    index of the nearest ``y`` row for every ``x`` row."""
+    d = pairwise_sqdist(x, y)
+    if batch_x is not None and batch_y is not None:
+        same = batch_x[:, None] == batch_y[None, :]
+        d = jnp.where(same, d, jnp.inf)
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+def radius(
+    x_src: jnp.ndarray,
+    x_dst: jnp.ndarray,
+    r: float,
+    batch_src=None,
+    batch_dst=None,
+    max_num_neighbors: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """reference ``radius`` (torch-cluster role) with static shapes: for each
+    dst row, up to ``max_num_neighbors`` src rows within ``r``; returns
+    (senders[src ids], receivers[dst ids], valid mask), each
+    ``[N_dst * max_num_neighbors]`` — torch-cluster's cap has the same
+    semantics (``radius(..., max_num_neighbors)``)."""
+    d = pairwise_sqdist(x_dst, x_src)
+    if batch_src is not None and batch_dst is not None:
+        same = batch_dst[:, None] == batch_src[None, :]
+        d = jnp.where(same, d, jnp.inf)
+    neg_d, idx = jax.lax.top_k(-d, min(max_num_neighbors, x_src.shape[0]))
+    valid = (-neg_d) <= r * r
+    k = idx.shape[1]
+    receivers = jnp.repeat(jnp.arange(x_dst.shape[0], dtype=jnp.int32), k)
+    return idx.reshape(-1).astype(jnp.int32), receivers, valid.reshape(-1)
+
+
+def radius_graph(pos, r, batch=None, *, loop: bool = False,
+                 max_num_neighbors: int = 32):
+    """reference ``transforms/radius_graph.py`` role on device: (senders,
+    receivers, valid) with the same conventions as :func:`knn_graph`."""
+    n = pos.shape[0]
+    d = pairwise_sqdist(pos, pos)
+    if batch is not None:
+        same = batch[:, None] == batch[None, :]
+        d = jnp.where(same, d, jnp.inf)
+    if not loop:
+        d = d + jnp.diag(jnp.full((n,), jnp.inf, d.dtype))
+    neg_d, idx = jax.lax.top_k(-d, min(max_num_neighbors, n))
+    valid = (-neg_d) <= r * r
+    k = idx.shape[1]
+    receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    return idx.reshape(-1).astype(jnp.int32), receivers, valid.reshape(-1)
+
+
+def fps(pos, *, ratio: float = 0.5, batch=None, start_idx: int = 0,
+        num_samples: Optional[int] = None) -> jnp.ndarray:
+    """Farthest point sampling — reference ``fps`` (torch-cluster role,
+    PointNet++ downsampling).  Static output size ``num_samples`` (defaults
+    to ``ceil(ratio * N)``); runs as a ``fori_loop`` on device.  With
+    ``batch``, sampling is stratified per graph by distance masking (each
+    pick is the globally farthest not-yet-picked point of the round-robin
+    graph)."""
+    n = pos.shape[0]
+    m = num_samples if num_samples is not None else int(np.ceil(ratio * n))
+    d0 = pairwise_sqdist(pos, pos)
+    if batch is not None:
+        same = batch[:, None] == batch[None, :]
+        d0 = jnp.where(same, d0, -jnp.inf)  # cross-graph never limits
+
+    def body(i, state):
+        picked, mind = state
+        # farthest from the current picked set
+        nxt = jnp.argmax(mind)
+        picked = picked.at[i].set(nxt.astype(jnp.int32))
+        mind = jnp.minimum(mind, d0[nxt])
+        mind = mind.at[nxt].set(-jnp.inf)
+        return picked, mind
+
+    picked0 = jnp.zeros(m, jnp.int32).at[0].set(start_idx)
+    mind0 = d0[start_idx].at[start_idx].set(-jnp.inf)
+    picked, _ = jax.lax.fori_loop(1, m, body, (picked0, mind0))
+    return picked
+
