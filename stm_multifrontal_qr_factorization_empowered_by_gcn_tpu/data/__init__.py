@@ -1,9 +1,13 @@
 from .graph import Graph, from_edge_index, edge_index_of
 from .batch import batch_graphs, pad_graph, pad_to_bucket, bucket_shape, unbatch
 from .dataset import Dataset, InMemoryDataset, save_graphs, load_graphs
-from .dataloader import DataLoader
+from .dataloader import DataListLoader, DataLoader, DenseDataLoader
+from .download import (
+    download_url, extract_bz2, extract_gz, extract_tar, extract_zip,
+)
 from .sampler import (
-    BipartiteBlock, CSRTable, GraphSAINTSampler, NeighborSampler,
+    BipartiteBlock, CSRTable, GraphSAINTEdgeSampler, GraphSAINTNodeSampler,
+    GraphSAINTRandomWalkSampler, GraphSAINTSampler, NeighborSampler,
     RandomNodeSampler, build_csr_table, sample_block, sample_fanout,
 )
 from .cluster import ClusterData, ClusterLoader, bfs_partition
@@ -11,8 +15,12 @@ from .cluster import ClusterData, ClusterLoader, bfs_partition
 __all__ = [
     "Graph", "from_edge_index", "edge_index_of",
     "batch_graphs", "pad_graph", "pad_to_bucket", "bucket_shape", "unbatch",
-    "Dataset", "InMemoryDataset", "save_graphs", "load_graphs", "DataLoader",
-    "BipartiteBlock", "CSRTable", "GraphSAINTSampler", "NeighborSampler",
+    "Dataset", "InMemoryDataset", "save_graphs", "load_graphs",
+    "DataLoader", "DataListLoader", "DenseDataLoader",
+    "download_url", "extract_bz2", "extract_gz", "extract_tar", "extract_zip",
+    "BipartiteBlock", "CSRTable", "GraphSAINTSampler",
+    "GraphSAINTNodeSampler", "GraphSAINTEdgeSampler",
+    "GraphSAINTRandomWalkSampler", "NeighborSampler",
     "RandomNodeSampler", "build_csr_table", "sample_block", "sample_fanout",
     "ClusterData", "ClusterLoader", "bfs_partition",
 ]

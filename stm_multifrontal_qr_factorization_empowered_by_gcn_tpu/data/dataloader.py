@@ -72,3 +72,52 @@ class DataLoader:
         # graph axis fixed at batch_size+1 so every batch of an epoch shares
         # one compiled shape (the +1 slot absorbs padding nodes/edges)
         return pad_graph(b, num_nodes=nn_, num_edges=ee, num_graphs=self.batch_size + 1)
+
+
+class DataListLoader(DataLoader):
+    """reference ``dataloader.py:DataListLoader`` — yields the raw list of
+    graphs un-collated (the :class:`~..nn.data_parallel.DataParallel` input
+    format, which shards the list itself)."""
+
+    def collate(self, graphs: Sequence[Graph]):  # type: ignore[override]
+        return list(graphs)
+
+
+class DenseDataLoader(DataLoader):
+    """reference ``dataloader.py:DenseDataLoader`` — stacks same-or-padded
+    graphs into dense ``[B, N_max, ...]`` tensors (the input format of the
+    ``nn/dense`` layers / DiffPool).  Returns a dict with ``x``, ``adj``,
+    ``mask`` and optionally ``y``."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 *, max_nodes: Optional[int] = None, **kw):
+        super().__init__(dataset, batch_size, shuffle, **kw)
+        if max_nodes is None:
+            max_nodes = max(
+                int(np.sum(dataset[i].n_node)) for i in range(len(dataset))
+            )
+        self.max_nodes = max_nodes
+
+    def collate(self, graphs: Sequence[Graph]):  # type: ignore[override]
+        b, n = len(graphs), self.max_nodes
+        f = np.asarray(graphs[0].nodes).shape[-1]
+        x = np.zeros((b, n, f), np.float32)
+        adj = np.zeros((b, n, n), np.float32)
+        mask = np.zeros((b, n), bool)
+        ys = []
+        for i, g in enumerate(graphs):
+            k = int(np.sum(g.n_node))
+            if k > n:
+                raise ValueError(f"graph has {k} nodes > max_nodes={n}")
+            x[i, :k] = np.asarray(g.nodes)
+            s, r = np.asarray(g.senders), np.asarray(g.receivers)
+            w = (np.ones(len(s), np.float32) if g.edges is None
+                 else np.asarray(g.edges, np.float32).reshape(len(s), -1)[:, 0])
+            np.add.at(adj[i], (r, s), w)
+            mask[i, :k] = True
+            if g.y is not None:
+                ys.append(np.asarray(g.y).reshape(-1))
+        out = {"x": x, "adj": adj, "mask": mask}
+        if ys:
+            out["y"] = np.stack(ys)
+        return out

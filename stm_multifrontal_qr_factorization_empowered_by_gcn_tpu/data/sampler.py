@@ -313,3 +313,24 @@ class GraphSAINTSampler:
         for _ in range(self.num_steps):
             nodes = self._sample_nodes()
             yield induced_subgraph(self.graph, nodes), nodes
+
+
+class GraphSAINTNodeSampler(GraphSAINTSampler):
+    """reference ``graph_saint.py:GraphSAINTNodeSampler``."""
+
+    def __init__(self, graph, budget=512, num_steps=10, **kw):
+        super().__init__(graph, budget=budget, num_steps=num_steps, mode="node", **kw)
+
+
+class GraphSAINTEdgeSampler(GraphSAINTSampler):
+    """reference ``graph_saint.py:GraphSAINTEdgeSampler``."""
+
+    def __init__(self, graph, budget=512, num_steps=10, **kw):
+        super().__init__(graph, budget=budget, num_steps=num_steps, mode="edge", **kw)
+
+
+class GraphSAINTRandomWalkSampler(GraphSAINTSampler):
+    """reference ``graph_saint.py:GraphSAINTRandomWalkSampler``."""
+
+    def __init__(self, graph, budget=512, num_steps=10, **kw):
+        super().__init__(graph, budget=budget, num_steps=num_steps, mode="walk", **kw)
