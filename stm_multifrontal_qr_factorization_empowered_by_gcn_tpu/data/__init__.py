@@ -11,6 +11,7 @@ from .sampler import (
     RandomNodeSampler, build_csr_table, sample_block, sample_fanout,
 )
 from .cluster import ClusterData, ClusterLoader, bfs_partition
+from .temporal import TemporalData
 
 __all__ = [
     "Graph", "from_edge_index", "edge_index_of",
@@ -22,5 +23,5 @@ __all__ = [
     "GraphSAINTNodeSampler", "GraphSAINTEdgeSampler",
     "GraphSAINTRandomWalkSampler", "NeighborSampler",
     "RandomNodeSampler", "build_csr_table", "sample_block", "sample_fanout",
-    "ClusterData", "ClusterLoader", "bfs_partition",
+    "ClusterData", "ClusterLoader", "bfs_partition", "TemporalData",
 ]

@@ -83,3 +83,25 @@ def test_download_and_extract(tmp_path):
         f.write(b"G")
     extract_gz(str(tmp_path / "g.txt.gz"), str(tmp_path))
     assert (tmp_path / "g.txt").read_bytes() == b"G"
+
+
+def test_temporal_data_split_and_batches():
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.data import (
+        TemporalData,
+    )
+
+    n = 100
+    td = TemporalData(
+        src=np.arange(n) % 7,
+        dst=(np.arange(n) + 1) % 7,
+        t=np.arange(n),
+        msg=np.ones((n, 4), np.float32),
+    )
+    assert td.num_events == n and td.num_nodes == 7
+    tr, va, te = td.train_val_test_split(val_ratio=0.15, test_ratio=0.15)
+    assert tr.num_events + va.num_events + te.num_events == n
+    assert tr.t.max() < va.t.min() <= va.t.max() < te.t.min()
+    sizes = [b.num_events for b in td.seq_batches(32)]
+    assert sizes == [32, 32, 32, 4]
+    sub = td[np.asarray([5, 6])]
+    assert sub.src.tolist() == [5, 6]
