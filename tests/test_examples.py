@@ -23,10 +23,14 @@ MODULES = sorted(
 @pytest.mark.parametrize("name", MODULES)
 def test_example_imports(name):
     """Every example imports cleanly (no API drift, no top-level work)."""
+    import flax.linen as fnn
+
     mod = importlib.import_module(f"examples.{name}")
-    assert hasattr(mod, "main") or hasattr(mod, "Net") or hasattr(mod, "run"), (
-        f"examples/{name}.py exposes no main/Net/run entry point"
+    has_entry = any(hasattr(mod, a) for a in ("main", "Net", "run")) or any(
+        isinstance(v, type) and issubclass(v, fnn.Module)
+        for v in vars(mod).values()
     )
+    assert has_entry, f"examples/{name}.py exposes no entry point"
 
 
 def _run(name):
