@@ -12,5 +12,6 @@ __version__ = "0.1.0"
 
 from . import (  # noqa: F401
     data, datasets, io, models, nn, ops, parallel, sparseqr, train,
-    transforms, utils,
+    transforms, utils, visualization,
 )
+from .debug import debug, is_debug_enabled, set_debug  # noqa: F401
