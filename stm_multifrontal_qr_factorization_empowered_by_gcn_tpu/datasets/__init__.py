@@ -5,11 +5,22 @@ from .classic import (
     TUDataset,
 )
 from .classorder import Classorder, ClassorderTest
+from .collections import (
+    FAUST,
+    PPI,
+    Amazon,
+    CitationFull,
+    Coauthor,
+    ModelNet,
+    Reddit,
+)
 from .reorder import Reorder
 from .synth_structure import synthesize_triplets, synthesize_features
 
 __all__ = [
     "KarateClub", "Planetoid", "SuiteSparseMatrixCollection", "TUDataset",
+    "Amazon", "CitationFull", "Coauthor", "FAUST", "ModelNet", "PPI",
+    "Reddit",
     "Classorder", "ClassorderTest", "Reorder",
     "synthesize_triplets", "synthesize_features",
 ]
