@@ -12,6 +12,7 @@ from .collections import (
     CitationFull,
     Coauthor,
     ModelNet,
+    QM9,
     Reddit,
 )
 from .reorder import Reorder
@@ -19,7 +20,7 @@ from .synth_structure import synthesize_triplets, synthesize_features
 
 __all__ = [
     "KarateClub", "Planetoid", "SuiteSparseMatrixCollection", "TUDataset",
-    "Amazon", "CitationFull", "Coauthor", "FAUST", "ModelNet", "PPI",
+    "Amazon", "CitationFull", "Coauthor", "FAUST", "ModelNet", "PPI", "QM9",
     "Reddit",
     "Classorder", "ClassorderTest", "Reorder",
     "synthesize_triplets", "synthesize_features",

@@ -278,3 +278,58 @@ class PPI(InMemoryDataset):
                     y=y[nodes].astype(np.float32),
                 ))
             self.save_split(graphs, self.processed_paths[si])
+
+
+class QM9(InMemoryDataset):
+    """reference ``qm9.py`` (1.6.3 raw route) — ~130k small molecules with
+    19 regression targets; raw = ``gdb9.sdf`` (multi-record molfile) +
+    ``gdb9.sdf.csv`` targets + ``uncharacterized.txt`` skip list.  Molecules
+    parse through :func:`io.readers.parse_sdf`; targets land in
+    ``Graph.globals``."""
+
+    raw_url = ("https://deepchemdata.s3-us-west-1.amazonaws.com/datasets/"
+               "molnet_publish/qm9.zip")
+
+    def __init__(self, root, transform=None, pre_transform=None,
+                 pre_filter=None):
+        super().__init__(root, transform, pre_transform, pre_filter)
+        self.load_split(self.processed_paths[0])
+
+    @property
+    def raw_file_names(self):
+        return ["gdb9.sdf", "gdb9.sdf.csv"]
+
+    @property
+    def processed_file_names(self):
+        return ["data.npz"]
+
+    def download(self):
+        path = download_url(self.raw_url, self.raw_dir)
+        extract_zip(path, self.raw_dir)
+
+    def process(self):
+        from ..io.readers import parse_sdf
+
+        skip = set()
+        unc = osp.join(self.raw_dir, "uncharacterized.txt")
+        if osp.exists(unc):
+            with open(unc) as f:
+                lines = f.read().split("\n")[9:-2]
+            skip = {int(ln.split()[0]) - 1 for ln in lines if ln.split()}
+
+        with open(osp.join(self.raw_dir, "gdb9.sdf.csv")) as f:
+            rows = f.read().strip().split("\n")[1:]
+        targets = np.asarray(
+            [[float(v) for v in ln.split(",")[1:20]] for ln in rows],
+            np.float32,
+        )
+
+        with open(osp.join(self.raw_dir, "gdb9.sdf")) as f:
+            records = f.read().split("$$$$\n")
+        graphs = []
+        for i, rec in enumerate(records):
+            if not rec.strip() or i in skip or i >= len(targets):
+                continue
+            g = parse_sdf(rec)
+            graphs.append(g._replace(globals=targets[i][None, :]))
+        self.save_split(graphs, self.processed_paths[0])

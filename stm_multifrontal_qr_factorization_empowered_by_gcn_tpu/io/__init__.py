@@ -4,7 +4,8 @@ from .features import (
     extinfo_row, GraphFeatures,
 )
 from .readers import (
-    read_npz, read_obj, read_off, read_planetoid_data, read_ply, read_sdf,
+    parse_sdf, read_npz, read_obj, read_off, read_planetoid_data, read_ply,
+    read_sdf,
     read_tu_data, read_txt_array,
 )
 
@@ -12,6 +13,6 @@ __all__ = [
     "read_mtx", "to_csr", "Triplets",
     "compute_features", "features_from_mtx", "node_feature_table",
     "edge_table", "extinfo_row", "GraphFeatures",
-    "read_npz", "read_obj", "read_off", "read_planetoid_data", "read_ply",
+    "parse_sdf", "read_npz", "read_obj", "read_off", "read_planetoid_data", "read_ply",
     "read_sdf", "read_tu_data", "read_txt_array",
 ]

@@ -311,10 +311,16 @@ def read_sdf(path: str) -> Graph:
     """reference ``io/sdf.py`` — one-hot atom types (H/C/N/O/F), symmetrized
     coalesced bonds with 0-based bond-type edge attrs, positions stacked
     after the one-hot block (the reference keeps them in ``pos``)."""
+    with open(path) as f:
+        return parse_sdf(f.read())
+
+
+def parse_sdf(text: str) -> Graph:
+    """Parse ONE molfile record (reference ``sdf.py:parse_sdf``); multi-
+    record .sdf files split on ``$$$$`` (see ``datasets.QM9``)."""
     from ..utils.undirected import coalesce as _coalesce
 
-    with open(path) as f:
-        src = f.read().split("\n")[3:]
+    src = text.split("\n")[3:]
     num_atoms, num_bonds = (int(t) for t in src[0].split()[:2])
     atom_block = src[1 : num_atoms + 1]
     pos = np.asarray(

@@ -140,3 +140,28 @@ def test_download_raises_cleanly(tmp_path):
         Amazon(str(tmp_path / "a"), "photo")
     with pytest.raises(RuntimeError, match="registration"):
         FAUST(str(tmp_path / "f"))
+
+
+def test_qm9_local_raw(tmp_path):
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.datasets import QM9
+
+    root = tmp_path / "qm9"
+    raw = root / "raw"
+    raw.mkdir(parents=True)
+    mol = ("gdb_1\n prog\ncomment\n"
+           "  3  2  0  0  0  0  0  0  0  0999 V2000\n"
+           "    0.0  0.0  0.0 O 0 0\n"
+           "    1.0  0.0  0.0 H 0 0\n"
+           "   -1.0  0.0  0.0 H 0 0\n"
+           "  1  2  1  0\n  1  3  1  0\nM  END\n")
+    (raw / "gdb9.sdf").write_text(mol + "$$$$\n" + mol + "$$$$\n")
+    (raw / "gdb9.sdf.csv").write_text(
+        "mol_id," + ",".join(f"t{i}" for i in range(19)) + "\n"
+        + "gdb_1," + ",".join(["1.5"] * 19) + "\n"
+        + "gdb_2," + ",".join(["2.5"] * 19) + "\n")
+    ds = QM9(str(root))
+    assert len(ds._graphs) == 2
+    g = ds.get(1)
+    assert int(g.n_node[0]) == 3
+    assert g.globals.shape == (1, 19)
+    np.testing.assert_allclose(g.globals[0, 0], 2.5)
