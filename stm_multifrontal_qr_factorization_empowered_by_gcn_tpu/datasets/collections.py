@@ -323,6 +323,17 @@ class QM9(InMemoryDataset):
             [[float(v) for v in ln.split(",")[1:20]] for ln in rows],
             np.float32,
         )
+        # reference qm9.py:195-196 target contract: move the 3 rotational
+        # constants (csv cols 0-2) to the back and convert units so e.g.
+        # target 7 is U0 in eV (HAR2EV / KCALMOL2EV vectors, qm9.py:21-26)
+        HAR2EV = 27.2113825435
+        KCALMOL2EV = 0.04336414
+        conversion = np.asarray(
+            [1.0, 1.0, HAR2EV, HAR2EV, HAR2EV, 1.0, HAR2EV, HAR2EV, HAR2EV,
+             HAR2EV, HAR2EV, 1.0, KCALMOL2EV, KCALMOL2EV, KCALMOL2EV,
+             KCALMOL2EV, 1.0, 1.0, 1.0], np.float32)
+        targets = np.concatenate([targets[:, 3:], targets[:, :3]], axis=1)
+        targets = targets * conversion[None, :]
 
         with open(osp.join(self.raw_dir, "gdb9.sdf")) as f:
             records = f.read().split("$$$$\n")

@@ -166,7 +166,10 @@ def read_tu_data(raw_dir: str, prefix: str) -> List[Graph]:
 # ---------------------------------------------------------------------------
 
 def read_npz(path: str) -> Graph:
-    """reference ``io/npz.py`` — adjacency + attribute CSR arrays."""
+    """reference ``io/npz.py`` — adjacency + attribute CSR arrays, with the
+    reference's normalizations (npz.py:16-22): binarized features
+    (``x[x>0]=1``), self-loops removed, adjacency symmetrized + coalesced
+    (``to_undirected``)."""
     with np.load(path, allow_pickle=True) as f:
         d = dict(f)
     import scipy.sparse as sp
@@ -184,14 +187,24 @@ def read_npz(path: str) -> Graph:
         )
     else:
         x = d["attr_matrix"].astype(np.float32)
+    x = (x > 0).astype(np.float32)
     y = d["labels"].astype(np.int32)
     n = x.shape[0]
+    row, col = adj.row, adj.col
+    keep = row != col
+    row, col = row[keep], col[keep]
+    # symmetrize + coalesce (reference to_undirected's internal coalesce)
+    s = np.concatenate([row, col])
+    r = np.concatenate([col, row])
+    uniq = np.unique(s.astype(np.int64) * n + r.astype(np.int64))
+    s = (uniq // n).astype(np.int32)
+    r = (uniq % n).astype(np.int32)
     return Graph(
         nodes=x,
-        senders=adj.col.astype(np.int32),
-        receivers=adj.row.astype(np.int32),
+        senders=s,
+        receivers=r,
         n_node=np.asarray([n], np.int32),
-        n_edge=np.asarray([adj.nnz], np.int32),
+        n_edge=np.asarray([len(s)], np.int32),
         y=y,
     )
 

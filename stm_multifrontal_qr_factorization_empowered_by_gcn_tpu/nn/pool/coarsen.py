@@ -142,16 +142,23 @@ def max_pool_x(cluster, x, graph_ids=None, *, num_clusters=None):
 def _pool_neighbor_x(g: Graph, aggr: str) -> Graph:
     import jax.numpy as jnp
 
-    from ...ops.segment import segment_max, segment_mean
+    import jax.ops
+
+    from ...ops.segment import segment_max
 
     n = int(np.sum(g.n_node))
     x = jnp.asarray(g.nodes)
     s = jnp.asarray(np.asarray(g.senders))
     r = jnp.asarray(np.asarray(g.receivers))
-    seg = segment_mean if aggr == "mean" else segment_max
-    agg = seg(x[s], r, n)
-    # include the node itself like the reference (self-loop semantics)
-    out = (agg + x) / 2.0 if aggr == "mean" else jnp.maximum(agg, x)
+    if aggr == "mean":
+        # reference avg_pool.py adds a self-loop and takes ONE mean:
+        # (sum_neighbors + x) / (deg + 1)
+        total = jax.ops.segment_sum(x[s], r, num_segments=n) + x
+        deg = jax.ops.segment_sum(jnp.ones_like(s, x.dtype), r,
+                                  num_segments=n) + 1.0
+        out = total / deg[:, None]
+    else:
+        out = jnp.maximum(segment_max(x[s], r, n), x)
     return g.replace(nodes=np.asarray(out))
 
 

@@ -135,29 +135,69 @@ def radius_graph(pos, r, batch=None, *, loop: bool = False,
 def fps(pos, *, ratio: float = 0.5, batch=None, start_idx: int = 0,
         num_samples: Optional[int] = None) -> jnp.ndarray:
     """Farthest point sampling — reference ``fps`` (torch-cluster role,
-    PointNet++ downsampling).  Static output size ``num_samples`` (defaults
-    to ``ceil(ratio * N)``); runs as a ``fori_loop`` on device.  With
-    ``batch``, sampling is stratified per graph by distance masking (each
-    pick is the globally farthest not-yet-picked point of the round-robin
-    graph)."""
+    PointNet++ downsampling).  Static output size (``num_samples`` or
+    ``ceil(ratio * N)``); runs as a ``fori_loop`` on device.
+
+    With ``batch`` (must be concrete — host-readable — like torch-cluster's
+    ``fps(x, batch, ratio)``), sampling is per graph: graph ``g`` contributes
+    ``ceil(ratio * n_g)`` picks (or its proportional share of
+    ``num_samples``), each pick the farthest-from-picked point *within its
+    own graph*; returned indices are grouped by graph, matching the
+    torch-cluster output order."""
     n = pos.shape[0]
-    m = num_samples if num_samples is not None else int(np.ceil(ratio * n))
     d0 = pairwise_sqdist(pos, pos)
-    if batch is not None:
-        same = batch[:, None] == batch[None, :]
-        d0 = jnp.where(same, d0, -jnp.inf)  # cross-graph never limits
+
+    if batch is None:
+        m = num_samples if num_samples is not None else int(np.ceil(ratio * n))
+
+        def body(i, state):
+            picked, mind = state
+            nxt = jnp.argmax(mind)  # farthest from the current picked set
+            picked = picked.at[i].set(nxt.astype(jnp.int32))
+            mind = jnp.minimum(mind, d0[nxt])
+            mind = mind.at[nxt].set(-jnp.inf)
+            return picked, mind
+
+        picked0 = jnp.zeros(m, jnp.int32).at[0].set(start_idx)
+        mind0 = d0[start_idx].at[start_idx].set(-jnp.inf)
+        picked, _ = jax.lax.fori_loop(1, m, body, (picked0, mind0))
+        return picked
+
+    # Batched: cross-graph pairs must never limit the running min (+inf),
+    # and each pick's argmax is masked to its scheduled target graph.
+    b_host = np.asarray(batch)
+    same = batch[:, None] == batch[None, :]
+    d0 = jnp.where(same, d0, jnp.inf)
+    graphs, counts = np.unique(b_host, return_counts=True)
+    if num_samples is not None:
+        # proportional share, largest-remainder rounding to hit the total
+        shares = counts * (num_samples / counts.sum())
+        per = np.floor(shares).astype(np.int64)
+        rem = num_samples - int(per.sum())
+        if rem > 0:
+            order = np.argsort(-(shares - per))
+            per[order[:rem]] += 1
+        per = np.minimum(per, counts)
+    else:
+        per = np.ceil(ratio * counts).astype(np.int64)
+    # pick-i → row of in_graph, grouped by graph (torch-cluster output order)
+    target = jnp.asarray(np.repeat(np.arange(len(graphs)), per))
+    m = int(per.sum())
+    in_graph = batch[None, :] == jnp.asarray(graphs)[:, None]  # [G, N]
 
     def body(i, state):
         picked, mind = state
-        # farthest from the current picked set
-        nxt = jnp.argmax(mind)
+        # +inf mind within the target graph = "no pick in this graph yet";
+        # argmax over the graph's nodes (others −inf so never chosen)
+        cand = jnp.where(in_graph[target[i]], mind, -jnp.inf)
+        nxt = jnp.argmax(cand)
         picked = picked.at[i].set(nxt.astype(jnp.int32))
         mind = jnp.minimum(mind, d0[nxt])
         mind = mind.at[nxt].set(-jnp.inf)
         return picked, mind
 
-    picked0 = jnp.zeros(m, jnp.int32).at[0].set(start_idx)
-    mind0 = d0[start_idx].at[start_idx].set(-jnp.inf)
-    picked, _ = jax.lax.fori_loop(1, m, body, (picked0, mind0))
+    picked0 = jnp.zeros(m, jnp.int32)
+    mind0 = jnp.full((n,), jnp.inf, d0.dtype)
+    picked, _ = jax.lax.fori_loop(0, m, body, (picked0, mind0))
     return picked
 

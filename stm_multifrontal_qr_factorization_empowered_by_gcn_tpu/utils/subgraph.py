@@ -98,14 +98,17 @@ def remove_isolated_nodes(senders, receivers, num_nodes: int,
     surviving nodes; returns (senders, receivers, edge_attr, node_mask)."""
     s = np.asarray(senders)
     r = np.asarray(receivers)
-    keep_e = s != r
+    non_loop = s != r
     mask = np.zeros(num_nodes, bool)
-    mask[s[keep_e]] = True
-    mask[r[keep_e]] = True
+    mask[s[non_loop]] = True
+    mask[r[non_loop]] = True
+    # drop edges touching removed nodes (incl. their self-loops) and keep
+    # edge_attr aligned — reference isolated.py filters both by edge mask
+    keep_e = mask[s] & mask[r]
+    s, r = s[keep_e], r[keep_e]
     relabel = np.cumsum(mask) - 1
-    return (relabel[s].astype(s.dtype), relabel[r].astype(r.dtype),
-            None if edge_attr is None else np.asarray(edge_attr),
-            mask)
+    ea = None if edge_attr is None else np.asarray(edge_attr)[keep_e]
+    return (relabel[s].astype(s.dtype), relabel[r].astype(r.dtype), ea, mask)
 
 
 # reference name for the node-induced subgraph (``utils/subgraph.py``)

@@ -158,10 +158,16 @@ def test_qm9_local_raw(tmp_path):
     (raw / "gdb9.sdf.csv").write_text(
         "mol_id," + ",".join(f"t{i}" for i in range(19)) + "\n"
         + "gdb_1," + ",".join(["1.5"] * 19) + "\n"
-        + "gdb_2," + ",".join(["2.5"] * 19) + "\n")
+        + "gdb_2," + ",".join(str(float(v)) for v in range(19)) + "\n")
     ds = QM9(str(root))
     assert len(ds._graphs) == 2
     g = ds.get(1)
     assert int(g.n_node[0]) == 3
     assert g.globals.shape == (1, 19)
-    np.testing.assert_allclose(g.globals[0, 0], 2.5)
+    HAR2EV = 27.2113825435
+    # reference qm9.py target contract: reorder [3:]+[0:3], then convert —
+    # target 7 = U0 (raw csv col 10) in eV; target 0 = mu (raw col 3), 1.0;
+    # targets 16-18 = rotational constants A,B,C (raw cols 0-2), 1.0
+    np.testing.assert_allclose(g.globals[0, 7], 10.0 * HAR2EV, rtol=1e-6)
+    np.testing.assert_allclose(g.globals[0, 0], 3.0)
+    np.testing.assert_allclose(g.globals[0, 16:19], [0.0, 1.0, 2.0])

@@ -53,12 +53,44 @@ def test_neighbor_x():
     np.testing.assert_allclose(np.asarray(out.nodes)[0, 0], 2.0)
 
 
+def test_neighbor_x_degree2_self_loop_mean():
+    # reference avg_pool.py: self-loop-augmented mean (sum_nbrs + x)/(deg+1)
+    x = np.asarray([[0.0], [6.0], [12.0]], np.float32)
+    ei = np.asarray([[1, 2], [0, 0]])  # node 0 has TWO in-neighbors
+    g = from_edge_index(x, ei)
+    out = avg_pool_neighbor_x(g)
+    np.testing.assert_allclose(np.asarray(out.nodes)[0, 0], 6.0)  # 18/3
+
+
 def test_fps_spreads():
     # 2 tight clusters far apart: fps with m=2 must pick one from each
     pos = jnp.asarray(
         [[0.0, 0], [0.1, 0], [0.2, 0], [10.0, 0], [10.1, 0], [10.2, 0]])
     picked = np.asarray(fps(pos, num_samples=2))
     assert (picked[0] < 3) != (picked[1] < 3)
+
+
+def test_fps_batched_per_graph_coverage():
+    # two graphs in one batch: every graph must contribute its own picks
+    # (torch-cluster fps semantics: ceil(ratio * n_g) per graph, grouped)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(np.concatenate([
+        rng.normal(size=(10, 3)), 100.0 + rng.normal(size=(10, 3))
+    ]).astype(np.float32))
+    batch = jnp.asarray(np.repeat([0, 1], 10))
+    picked = np.asarray(fps(pos, ratio=0.5, batch=batch))
+    assert len(picked) == 10
+    assert (picked[:5] < 10).all() and (picked[5:] >= 10).all()
+    assert len(set(picked.tolist())) == 10  # no duplicates
+
+
+def test_fps_batched_num_samples_proportional():
+    pos = jnp.asarray(np.random.default_rng(1).normal(size=(12, 2)),
+                      jnp.float32)
+    batch = jnp.asarray(np.repeat([0, 1], [8, 4]))
+    picked = np.asarray(fps(pos, num_samples=6, batch=batch))
+    assert len(picked) == 6
+    assert (picked[:4] < 8).all() and (picked[4:] >= 8).all()
 
 
 def test_radius_and_nearest():

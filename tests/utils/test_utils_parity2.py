@@ -99,6 +99,18 @@ def test_segregate_and_isolated():
     assert mask.tolist() == [True, True, False]
 
 
+def test_remove_isolated_drops_their_self_loops():
+    # node 2 is isolated (only a self-loop): its edge must be dropped, not
+    # relabeled onto node 1 (reference isolated.py filters by edge mask)
+    s = np.asarray([0, 1, 2])
+    r = np.asarray([1, 0, 2])
+    ea = np.asarray([[10.0], [20.0], [30.0]])
+    s2, r2, ea2, mask = remove_isolated_nodes(s, r, 3, edge_attr=ea)
+    assert mask.tolist() == [True, True, False]
+    assert set(zip(s2.tolist(), r2.tolist())) == {(0, 1), (1, 0)}
+    np.testing.assert_allclose(ea2.reshape(-1), [10.0, 20.0])
+
+
 def test_subgraph_reference_name():
     s = np.asarray([0, 1, 1, 2, 2, 3])
     r = np.asarray([1, 0, 2, 1, 3, 2])
