@@ -1,15 +1,21 @@
 """Headline benchmark: framework SpMM aggregate throughput on one chip.
 
-Two graphs at the same shape (N=131k, E=4.2M, F=128):
+Three graphs at the same shape (N=131k, E=4.2M, F=128):
 
 1. **Matrix-structure graph** (headline JSON line) — banded sparsity, the
    structure every graph in this framework's domain has (sparse-matrix
    nonzero patterns, SURVEY.md §0; the Classorder corpus) after an RCM
    relabel (``utils/rcm.py``).  ``ops/plan.build_spmm_plan`` dispatches it
    to the BSR Pallas MXU kernel (``ops/pallas/bsr_kernel.py``): dense
-   128x128 block matmuls, **no gather at all** — which is how it beats the
-   per-edge gather roofline rather than approaching it.
-2. **Uniform-random graph** (stderr) — the adversarial no-locality case; the
+   [128 x block_cols] block matmuls, **no gather at all** — which is how it
+   beats the per-edge gather roofline rather than approaching it.
+2. **Power-law graph** (stderr) — Zipf(1.5) degree skew, the regime the
+   reference's ``examples/reddit.py`` / ogbn sampled-SAGE workloads live in.
+   The planner auto-engages a degree-sort relabel: hub edges densify into
+   MXU blocks (~93 % of edges), the tail rides a drop-empty ELL, and the
+   permutation is baked into the plan.  The timed chain uses ``apply`` —
+   the conservative path that pays both permutes every iteration.
+3. **Uniform-random graph** (stderr) — the adversarial no-locality case; the
    plan falls back to width-tuned column-sliced ELL.  On v5e the random row
    gather engine sustains ~370-460M rows/s regardless of index order
    (benchmark/ell_decompose.py), so ~10 ms is that case's physical floor —
@@ -147,7 +153,29 @@ def main():
         file=sys.stderr,
     )
 
-    # --- 2. adversarial uniform-random graph (stderr secondary) ------------
+    # --- 2. power-law graph (Zipf 1.5, Reddit/ogbn regime; stderr) ---------
+    wn = np.minimum(rng.zipf(1.5, N), N // 16).astype(np.float64)
+    pz = wn / wn.sum()
+    sz = rng.choice(N, size=E, p=pz).astype(np.int64)
+    rz = rng.choice(N, size=E, p=pz).astype(np.int64)
+    wz = rng.normal(size=E).astype(np.float32)
+    plan_z = build_spmm_plan(sz, rz, N, edge_weight=wz)
+
+    kz_s, kz_l = 8, 24
+    chain_zs, chain_zl = chain_of(plan_z, kz_s), chain_of(plan_z, kz_l)
+    _ = float(chain_zs(x0)), float(chain_zl(x0))
+    dt_z = _measure(chain_zs, chain_zl, x0, kz_s, kz_l)
+    frac_z = gather_sol / dt_z
+    print(
+        f"# power-law Zipf-1.5 (reference reddit/ogbn regime): "
+        f"plan={plan_z.method} relabel={'degree' if plan_z.perm is not None else 'none'} "
+        f"block_cols={plan_z.bsr_fwd.block_cols if plan_z.bsr_fwd is not None else 0} "
+        f"{dt_z*1e3:.3f}ms {E/dt_z/1e9:.2f}B edges/s "
+        f"roofline_fraction={frac_z:.3f} vs_baseline={frac_z/0.70:.3f}",
+        file=sys.stderr,
+    )
+
+    # --- 3. adversarial uniform-random graph (stderr secondary) ------------
     sr = rng.integers(0, N, size=E).astype(np.int64)
     rr = np.sort(rng.integers(0, N, size=E).astype(np.int64))
     wr = rng.normal(size=E).astype(np.float32)

@@ -90,6 +90,7 @@ def ell_from_coo(
     row_multiple: int = 128,
     min_rows: int = 0,
     force_combine: bool = False,
+    drop_empty: Optional[bool] = None,
 ) -> EllGraph:
     """Host-side COO → ELL conversion (one-time per graph, like the
     reference's ``ToSparseTensor`` transform).
@@ -98,7 +99,11 @@ def ell_from_coo(
     The virtual-row count is padded up to ``row_multiple`` (and at least
     ``min_rows`` — lets several graphs share one static shape, e.g. for
     stacked minibatches).  ``force_combine`` pins the static combine flag so
-    a batch of tables stacks homogeneously.
+    a batch of tables stacks homogeneously.  ``drop_empty`` removes the
+    virtual rows of degree-0 receivers (default: auto — engaged when >25 %
+    of nodes are empty, the hybrid-plan residual case, where keeping them
+    would more than double the gathered slots; kept otherwise so the
+    combine-free identity-rows fast path stays available).
     """
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)
@@ -113,7 +118,11 @@ def ell_from_coo(
     s_sorted, r_sorted, w_sorted = senders[order], receivers[order], w[order]
 
     deg = np.bincount(r_sorted, minlength=num_nodes)
-    vrows_per_node = np.maximum((deg + width - 1) // width, 1)
+    if drop_empty is None:
+        drop_empty = num_nodes > 0 and float((deg == 0).mean()) > 0.25
+    vrows_per_node = (deg + width - 1) // width
+    if not drop_empty:
+        vrows_per_node = np.maximum(vrows_per_node, 1)
     v = int(vrows_per_node.sum())
     v_pad = int(-(-max(v, 1, min_rows) // row_multiple) * row_multiple)
 

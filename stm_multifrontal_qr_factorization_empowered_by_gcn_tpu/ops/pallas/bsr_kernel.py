@@ -1,20 +1,29 @@
 """Pallas TPU kernel: BSR SpMM on the MXU.
 
-Grid = (block_row, j) with j < max_blocks_per_row; the output 128-row window
-is revisited across consecutive j steps so it stays resident in VMEM and is
-written to HBM once per block-row.  The data-dependent block positions come
-from two scalar-prefetched arrays used inside BlockSpec index_maps:
+Grid = one step per *stored block* (flat), in block-row-major order.  The
+output 128-row window is revisited across consecutive same-row steps so it
+stays resident in VMEM and is written to HBM once per non-empty block-row.
+Two scalar-prefetched arrays drive the data-dependent windows:
 
-* ``ptr``  — block-row pointers; step (r, j) touches flat block ``ptr[r]+j``
-  when that is < ``ptr[r+1]`` (else the compute is predicated off and the
-  index_map clamps to a valid block);
-* ``bcol`` — block-column per flat block, indexing the 128-row x window the
-  j-th block of the row multiplies.
+* ``browf`` — block-row of each flat block (monotone non-decreasing; the
+  out BlockSpec index_map reads it, so the window flushes exactly at row
+  boundaries);
+* ``bcol`` — block-column of each flat block, indexing the 128-row x window
+  the block multiplies.
 
 Per step: one (128,128)@(128,F) MXU matmul accumulated into the resident
-f32 output window — no gathers, no scatters anywhere.  See ``ops/bsr.py``
-for the design rationale and the reference hot-path this replaces
-(``torch_geometric/nn/conv/message_passing.py:124-300``).
+f32 output window — no gathers, no scatters anywhere.  A flat grid (rather
+than the earlier ``(block_row, max_blocks_per_row)`` rectangle) makes the
+step count equal to the stored-block count even when the block-per-row
+distribution is skewed — on degree-sorted power-law graphs the densest
+block-row holds 100x the median and a rectangular grid would DMA clamped
+blocks for every wasted step (measured 20x slowdown on a Zipf-1.5 graph).
+
+Empty block-rows are never visited, so the builder (``ops/bsr.py``)
+guarantees every block-row holds at least one (possibly all-zero) block.
+
+See ``ops/bsr.py`` for the design rationale and the reference hot path this
+replaces (``torch_geometric/nn/conv/message_passing.py:124-300``).
 """
 from __future__ import annotations
 
@@ -38,52 +47,57 @@ def bsr_available() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _kernel(bcol_ref, ptr_ref, blk_ref, x_ref, out_ref):
-    r = pl.program_id(0)
-    j = pl.program_id(1)
+def _kernel(browf_ref, bcol_ref, blk_ref, x_ref, out_ref):
+    k = pl.program_id(0)
+    # new block-row starts here: reset the resident accumulator window
+    prev = browf_ref[jnp.maximum(k - 1, 0)]
+    first_of_row = jnp.logical_or(k == 0, prev != browf_ref[k])
 
-    @pl.when(j == 0)
+    @pl.when(first_of_row)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(ptr_ref[r] + j < ptr_ref[r + 1])
-    def _():
-        out_ref[...] += jax.lax.dot_general(
-            blk_ref[0],
-            x_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    out_ref[...] += jax.lax.dot_general(
+        blk_ref[0],
+        x_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def bsr_matmul_pallas(m, x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
-    """``out = A @ x`` over a :class:`~..bsr.BsrMatrix`; x is ``[num_cols, F]``."""
+    """``out = A @ x`` over a :class:`~..bsr.BsrMatrix`; x is ``[num_cols, F]``.
+
+    Requires every block-row to be non-empty (``bsr_from_coo`` pads empty
+    rows with a zero block so untouched output windows cannot hold garbage).
+    """
     f = x.shape[1]
     nbrow = m.nbrow
     nnzb = m.blocks.shape[0]
-    maxj = m.max_blocks_per_row
+    bc = m.block_cols
+    nbcol = max(-(-m.num_cols // bc), 1)
 
     xp = x
-    pad = nbrow * BLOCK - x.shape[0]
+    pad = nbcol * bc - x.shape[0]
     if pad > 0:
         xp = jnp.pad(x, ((0, pad), (0, 0)))
 
-    def _blk(r, j, bcol, ptr):
-        return jnp.minimum(ptr[r] + j, nnzb - 1)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nbrow, maxj),
+        grid=(nnzb,),
         in_specs=[
-            pl.BlockSpec((1, BLOCK, BLOCK), lambda r, j, bcol, ptr: (_blk(r, j, bcol, ptr), 0, 0)),
-            pl.BlockSpec((BLOCK, f), lambda r, j, bcol, ptr: (bcol[_blk(r, j, bcol, ptr)], 0)),
+            pl.BlockSpec((1, BLOCK, bc), lambda k, browf, bcol: (k, 0, 0)),
+            pl.BlockSpec((bc, f), lambda k, browf, bcol: (bcol[k], 0)),
         ],
-        out_specs=pl.BlockSpec((BLOCK, f), lambda r, j, bcol, ptr: (r, 0)),
+        out_specs=pl.BlockSpec((BLOCK, f), lambda k, browf, bcol: (browf[k], 0)),
     )
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbrow * BLOCK, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
-    )(m.bcol, m.ptr, m.blocks, xp)
+    )(m.browf, m.bcol, m.blocks, xp)
     return out[: m.num_rows].astype(x.dtype)

@@ -22,6 +22,21 @@ combining up to two differentiable executors:
   virtual-row combine for far fewer padded slots than the old fixed
   ``width=64`` table.
 
+**Degree-sorted relabeling (power-law / skew-degree graphs).**  Banded
+graphs get their BSR locality from an RCM relabel done by the caller;
+power-law graphs (Reddit/ogbn-style — the regime the reference's
+``examples/reddit.py`` NeighborSampler workload lives in) have *degree*
+locality instead: sorting nodes by descending degree concentrates the
+hub-hub / hub-tail edges into a dense corner of 128x128 blocks.  With
+``relabel='auto'`` the planner costs both labelings with a v5e-calibrated
+traffic model (dense block ≈ 80 ns of HBM traffic, gathered row ≈ 2.4 ns of
+gather-engine occupancy) and, when degree-sorting wins, bakes the
+permutation into the plan: ``apply`` runs ``x[perm] → SpMM → out[inv]``
+with gather-only forward AND backward (:func:`permute_rows`).  Measured on
+a Zipf-1.5 graph (N=131k, E=4.2M): 93 % of edges lower to MXU blocks and
+the whole SpMM runs ~5x faster than the gather floor the identity labeling
+is stuck at.
+
 Plans are pytrees: safe to close over or pass through ``jit`` boundaries,
 with the format choice static.
 """
@@ -36,10 +51,59 @@ import numpy as np
 from .bsr import BsrMatrix, bsr_from_coo, spmm_bsr
 from .ell import EllGraph, ell_from_coo, spmm_ell
 
+# v5e-calibrated plan-time cost constants (measured on the N=131k/E=4.2M
+# dependent-chain benchmark, block + x-window DMA included): per-step cost
+# of a [128, bc] block matmul, and one gathered row at the measured random
+# row-gather floor (~420 M rows/s) ≈ 2.4 ns.  Wider blocks amortize the
+# per-step DMA overhead (64 KiB transfers run ~370 GB/s effective, 256 KiB
+# ~850 GB/s) at the price of halved fill density per block.
+_STEP_NS = {128: 360.0, 256: 440.0, 512: 620.0}
+_ROW_NS = 2.4
+
+
+def _break_even_edges(block_cols: int) -> int:
+    """Edges a [128, block_cols] block must hold to beat the gather floor."""
+    return int(np.ceil(_STEP_NS[block_cols] / _ROW_NS))
+
+
+@jax.custom_vjp
+def permute_rows(x: jnp.ndarray, perm: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """``y[i] = x[perm[i]]`` with a gather-only backward (``g[inv]``) —
+    avoids the scatter XLA would otherwise emit for the VJP of a fancy
+    index (a permutation's transpose is the inverse permutation)."""
+    return x[perm]
+
+
+def _permute_fwd(x, perm, inv):
+    return x[perm], (perm, inv)
+
+
+def _permute_bwd(res, g):
+    perm, inv = res
+    return g[inv], jnp.zeros_like(perm), jnp.zeros_like(inv)
+
+
+permute_rows.defvjp(_permute_fwd, _permute_bwd)
+
 
 class SpmmPlan(NamedTuple):
     """Differentiable SpMM executor; ``apply(x) == A @ x`` for the planned
-    adjacency (weights baked in at build time)."""
+    adjacency (weights baked in at build time).
+
+    When ``perm`` is set the BSR structures live in degree-sorted space.
+    Chained row gathers are super-additive on v5e (two dependent 131k-row
+    gathers cost 1.53 ms vs 0.68 ms independent — a gather reading a fresh
+    intermediate runs ~4x slower than one reading a stable buffer), so the
+    plan is laid out so **no gather ever reads another gather's output**:
+
+    * ``apply`` feeds the ELL residual straight from the caller's ``x``
+      through *mixed-frame* tables (``ell_fwd_orig``: senders in original
+      ids, combine rows in permuted ids) and pays exactly one input permute
+      (reads ``x``) and one output un-permute;
+    * ``apply_relabeled`` runs wholly in the permuted frame (callers keep
+      node features relabeled across layers, like the banded path keeps RCM
+      labels) using the permuted-frame ``ell_fwd`` pair — zero permutes.
+    """
 
     bsr_fwd: Optional[BsrMatrix]
     bsr_bwd: Optional[BsrMatrix]
@@ -47,8 +111,12 @@ class SpmmPlan(NamedTuple):
     ell_bwd: Optional[EllGraph]
     num_nodes: int
     method: str  # 'bsr' | 'ell' | 'hybrid'
+    perm: Optional[jnp.ndarray] = None      # relabeled -> original node id
+    inv_perm: Optional[jnp.ndarray] = None  # original -> relabeled node id
+    ell_fwd_orig: Optional[EllGraph] = None  # senders original / rows permuted
+    ell_bwd_orig: Optional[EllGraph] = None  # senders permuted / rows original
 
-    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+    def apply_relabeled(self, x: jnp.ndarray) -> jnp.ndarray:
         out = None
         if self.bsr_fwd is not None:
             out = spmm_bsr(x, self.bsr_fwd, self.bsr_bwd)[: self.num_nodes]
@@ -59,16 +127,40 @@ class SpmmPlan(NamedTuple):
             out = jnp.zeros_like(x)
         return out
 
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.perm is None:
+            return self.apply_relabeled(x)
+        xp = permute_rows(x, self.perm, self.inv_perm)
+        out = None
+        if self.bsr_fwd is not None:
+            out = spmm_bsr(xp, self.bsr_fwd, self.bsr_bwd)[: self.num_nodes]
+        if self.ell_fwd_orig is not None:
+            # mixed-frame residual: gathers read the caller's x directly
+            e = spmm_ell(x, self.ell_fwd_orig, self.ell_bwd_orig)
+            e = e[: self.num_nodes]
+            out = e if out is None else out + e
+        if out is None:
+            out = jnp.zeros_like(x)
+        return permute_rows(out, self.inv_perm, self.perm)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.apply(x)
 
 
 def _plan_flatten(p: SpmmPlan):
-    return (p.bsr_fwd, p.bsr_bwd, p.ell_fwd, p.ell_bwd), (p.num_nodes, p.method)
+    return (
+        (p.bsr_fwd, p.bsr_bwd, p.ell_fwd, p.ell_bwd, p.perm, p.inv_perm,
+         p.ell_fwd_orig, p.ell_bwd_orig),
+        (p.num_nodes, p.method),
+    )
 
 
 def _plan_unflatten(aux, children):
-    return SpmmPlan(*children, num_nodes=aux[0], method=aux[1])
+    return SpmmPlan(
+        *children[:4], num_nodes=aux[0], method=aux[1],
+        perm=children[4], inv_perm=children[5],
+        ell_fwd_orig=children[6], ell_bwd_orig=children[7],
+    )
 
 
 jax.tree_util.register_pytree_node(SpmmPlan, _plan_flatten, _plan_unflatten)
@@ -83,9 +175,10 @@ def pick_ell_width(
     per virtual row (calibrated on the N=131k/E=4.2M bench shape, where
     this model correctly ranks w16 < w8 < w32 < w64)."""
     deg = np.bincount(np.asarray(receivers, np.int64), minlength=num_nodes)
+    deg = deg[deg > 0]  # zero-degree rows are dropped by the builder
     best_w, best_cost = candidates[0], np.inf
     for w in candidates:
-        vrows = np.maximum(-(-deg // w), 1)
+        vrows = -(-deg // w)
         cost = float(vrows.sum()) * (w + 2.0)
         if cost < best_cost:
             best_w, best_cost = w, cost
@@ -98,20 +191,74 @@ def _build_ell_pair(s, r, n, w, width):
     return fwd, bwd
 
 
+def _block_counts(senders, receivers, num_nodes, block_cols=128):
+    nbcol = max(-(-num_nodes // block_cols), 1)
+    bid = (receivers // 128) * nbcol + senders // block_cols
+    _, inv, counts = np.unique(bid, return_inverse=True, return_counts=True)
+    return counts, inv
+
+
+def _labeling_cost(senders, receivers, num_nodes, permuted, *,
+                   min_edges: Optional[int] = None):
+    """v5e traffic-model cost (seconds) of the best hybrid plan under the
+    given labeling — minimized over block widths: dense blocks stream as
+    MXU block matmuls at the measured per-step cost, residual edges ride
+    the gather engine, and a baked permutation adds 2N gathered rows per
+    apply.  Returns ``(cost_s, best_block_cols, dense_frac_at_best)``."""
+    e = max(len(senders), 1)
+    best = (np.inf, 128, 0.0)
+    for bc, step_ns in _STEP_NS.items():
+        thr = (
+            _break_even_edges(bc)
+            if min_edges is None
+            else max(min_edges * bc // 128, 1)
+        )
+        counts, inv = _block_counts(senders, receivers, num_nodes, bc)
+        dense = counts >= thr
+        tail_edges = int((~dense[inv]).sum())
+        cost = int(dense.sum()) * step_ns + tail_edges * _ROW_NS
+        if permuted:
+            cost += 2 * num_nodes * _ROW_NS
+        if cost < best[0]:
+            best = (cost, bc, 1.0 - tail_edges / e)
+    return best[0] * 1e-9, best[1], best[2]
+
+
+def degree_sort_order(senders, receivers, num_nodes) -> np.ndarray:
+    """Descending-total-degree node order — the relabel that densifies
+    power-law graphs' hub edges into 128x128 blocks (``order[i]`` = original
+    id of relabeled node ``i``)."""
+    deg = (
+        np.bincount(np.asarray(senders, np.int64), minlength=num_nodes)
+        + np.bincount(np.asarray(receivers, np.int64), minlength=num_nodes)
+    )
+    return np.argsort(-deg, kind="stable")
+
+
 def build_spmm_plan(
     senders: np.ndarray,
     receivers: np.ndarray,
     num_nodes: int,
     *,
     edge_weight: Optional[np.ndarray] = None,
-    bsr_min_edges: int = 64,
+    bsr_min_edges: Optional[int] = None,
     ell_width: Optional[int] = None,
     force: Optional[str] = None,
     block_dtype=np.float32,
+    relabel: Optional[str] = "auto",
+    block_cols: Optional[int] = None,
 ) -> SpmmPlan:
-    """Analyze the (already-relabeled, see ``utils/rcm``) COO structure and
-    build the best execution plan.  ``force`` pins the method for tests and
-    benchmarks ('bsr' | 'ell' | 'hybrid')."""
+    """Analyze the COO structure and build the best execution plan.
+
+    ``relabel``: ``'auto'`` (default) costs the identity labeling against a
+    degree-sorted one and bakes the winner's permutation into the plan;
+    ``'degree'`` forces degree-sorting; ``None`` keeps the caller's labels
+    (pass graphs already RCM-relabeled via ``utils/rcm`` this way).
+    ``block_cols`` pins the BSR block width (128/256/512; default: cost
+    model picks).  ``bsr_min_edges`` overrides the hybrid split threshold,
+    expressed per 128 block columns (default: the measured break-even).
+    ``force`` pins the method for tests and benchmarks
+    ('bsr' | 'ell' | 'hybrid')."""
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     e = senders.shape[0]
@@ -121,30 +268,64 @@ def build_spmm_plan(
         else np.asarray(edge_weight, np.float32)
     )
 
+    perm = inv_perm = None
+    senders_orig = None
+    cost_id, bc_id, frac_id = _labeling_cost(
+        senders, receivers, num_nodes, False, min_edges=bsr_min_edges
+    )
+    bc, dense_frac = bc_id, frac_id
+    if relabel == "degree" or (relabel == "auto" and e > 0 and force is None):
+        order = degree_sort_order(senders, receivers, num_nodes)
+        inv = np.empty(num_nodes, np.int64)
+        inv[order] = np.arange(num_nodes)
+        use_degree = relabel == "degree"
+        cost_deg, bc_deg, frac_deg = _labeling_cost(
+            inv[senders], inv[receivers], num_nodes, True,
+            min_edges=bsr_min_edges,
+        )
+        if not use_degree:
+            # degree-sorting only pays on skew-degree graphs where it beats
+            # the identity labeling under the traffic model (incl. the 2N
+            # permute rows it costs per apply)
+            use_degree = cost_deg < 0.9 * cost_id
+        if use_degree:
+            senders_orig = senders
+            senders, receivers = inv[senders], inv[receivers]
+            perm = jnp.asarray(order.astype(np.int32))
+            inv_perm = jnp.asarray(inv.astype(np.int32))
+            bc, dense_frac = bc_deg, frac_deg
+    if block_cols is not None:
+        bc = block_cols
+    split_thr = (
+        _break_even_edges(bc)
+        if bsr_min_edges is None
+        else max(bsr_min_edges * bc // 128, 1)
+    )
+
     method = force
     if method is None:
         # decide from block fill: how many edges sit in dense-enough blocks?
-        nbcol = max(-(-num_nodes // 128), 1)
-        bid = (receivers // 128) * nbcol + senders // 128
-        _, inv, counts = np.unique(bid, return_inverse=True, return_counts=True)
-        dense_frac = float((counts[inv] >= bsr_min_edges).sum()) / max(e, 1)
         if dense_frac > 0.95:
             method = "bsr"
         elif dense_frac > 0.5:
             method = "hybrid"
         else:
             method = "ell"
+            perm = inv_perm = None  # pure gather gains nothing from relabeling
 
     bsr_fwd = bsr_bwd = ell_fwd = ell_bwd = None
+    ell_fwd_orig = ell_bwd_orig = None
     if method in ("bsr", "hybrid"):
-        thresh = 1 if method == "bsr" else bsr_min_edges
+        thresh = 1 if method == "bsr" else split_thr
         bsr_fwd, lo_f = bsr_from_coo(
             senders, receivers, num_nodes,
             edge_weight=w, min_edges_per_block=thresh, dtype=block_dtype,
+            block_cols=bc,
         )
         bsr_bwd, lo_b = bsr_from_coo(
             receivers, senders, num_nodes,
             edge_weight=w, min_edges_per_block=1, dtype=block_dtype,
+            block_cols=bc,
         )
         if method == "hybrid" and lo_f.any():
             # residual edges go to the gather path; the backward BSR must
@@ -153,18 +334,33 @@ def build_spmm_plan(
             bsr_bwd, _ = bsr_from_coo(
                 receivers[keep], senders[keep], num_nodes,
                 edge_weight=w[keep], min_edges_per_block=1, dtype=block_dtype,
+                block_cols=bc,
             )
             width = ell_width or pick_ell_width(receivers[lo_f], num_nodes)
             ell_fwd, ell_bwd = _build_ell_pair(
                 senders[lo_f], receivers[lo_f], num_nodes, w[lo_f], width
             )
+            if perm is not None:
+                # mixed-frame residual pair for the original-frame apply():
+                # fwd gathers x by ORIGINAL sender id, combines into
+                # PERMUTED rows; bwd gathers the (permuted-frame) cotangent
+                # by permuted receiver id, combines into original sender ids
+                ell_fwd_orig = ell_from_coo(
+                    senders_orig[lo_f], receivers[lo_f], num_nodes,
+                    edge_weight=w[lo_f], width=width,
+                )
+                ell_bwd_orig = ell_from_coo(
+                    receivers[lo_f], senders_orig[lo_f], num_nodes,
+                    edge_weight=w[lo_f], width=width,
+                )
     if method == "ell":
         width = ell_width or pick_ell_width(receivers, num_nodes)
         ell_fwd, ell_bwd = _build_ell_pair(senders, receivers, num_nodes, w, width)
 
     return SpmmPlan(
         bsr_fwd=bsr_fwd, bsr_bwd=bsr_bwd, ell_fwd=ell_fwd, ell_bwd=ell_bwd,
-        num_nodes=num_nodes, method=method,
+        num_nodes=num_nodes, method=method, perm=perm, inv_perm=inv_perm,
+        ell_fwd_orig=ell_fwd_orig, ell_bwd_orig=ell_bwd_orig,
     )
 
 

@@ -151,6 +151,64 @@ class TestPlan:
         r_big = np.repeat(np.arange(10), 60)
         assert pick_ell_width(r_big, 10) >= 16
 
+    def test_auto_degree_relabel_on_powerlaw(self):
+        # Zipf-skew graph: identity labels give no dense blocks, degree
+        # sorting concentrates hub edges -> plan engages the relabel and
+        # stays exact (forward and gradient) vs the dense reference
+        rng = np.random.default_rng(42)
+        n, e, f = 8192, 65536, 16
+        w_node = np.minimum(rng.zipf(1.5, n), n // 8).astype(np.float64)
+        p = w_node / w_node.sum()
+        s = rng.choice(n, size=e, p=p).astype(np.int64)
+        r = rng.choice(n, size=e, p=p).astype(np.int64)
+        w = rng.normal(size=e).astype(np.float32) * 0.05
+        plan = build_spmm_plan(s, r, n, edge_weight=w)
+        assert plan.perm is not None, "degree relabel should engage"
+        assert plan.method in ("bsr", "hybrid")
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        A = _dense(s, r, w, n)
+        ref = A @ np.asarray(x)
+        np.testing.assert_allclose(plan.apply(x), ref, atol=1e-3)
+        g = jax.grad(lambda x: jnp.sum(plan.apply(x) ** 2))(x)
+        np.testing.assert_allclose(g, 2 * A.T @ (A @ np.asarray(x)),
+                                   atol=5e-3)
+
+    def test_apply_relabeled_matches_apply(self):
+        # permuted-frame executor: apply(x) == unperm(apply_relabeled(x[perm]))
+        rng = np.random.default_rng(7)
+        n, e, f = 8192, 65536, 8
+        wt = np.minimum(rng.zipf(1.5, n), n // 8).astype(np.float64)
+        p = wt / wt.sum()
+        s = rng.choice(n, size=e, p=p).astype(np.int64)
+        r = rng.choice(n, size=e, p=p).astype(np.int64)
+        w = rng.normal(size=e).astype(np.float32) * 0.05
+        plan = build_spmm_plan(s, r, n, edge_weight=w)
+        assert plan.perm is not None
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        ref = np.asarray(plan.apply(x))
+        xp = x[plan.perm]
+        out_p = np.asarray(plan.apply_relabeled(xp))
+        np.testing.assert_allclose(out_p[np.asarray(plan.inv_perm)], ref,
+                                   atol=1e-4)
+
+    def test_no_relabel_on_banded(self):
+        # banded graphs already block-dense under identity labels: the cost
+        # model must NOT pay the permutation for them
+        n = 2048
+        i = np.repeat(np.arange(n), 16)
+        j = (i + np.tile(np.arange(-8, 8), n)) % n
+        plan = build_spmm_plan(i, j, n)
+        assert plan.perm is None
+
+    def test_forced_degree_relabel_exactness(self):
+        n, e, f = 300, 3000, 8
+        s, r, w = _random_graph(n, e, seed=17)
+        x = jnp.asarray(np.random.default_rng(18).normal(size=(n, f)).astype(np.float32))
+        ref = _dense(s, r, w, n) @ np.asarray(x)
+        plan = build_spmm_plan(s, r, n, edge_weight=w, relabel="degree")
+        assert plan.perm is not None
+        np.testing.assert_allclose(plan.apply(x), ref, atol=1e-3)
+
     def test_plan_grad(self):
         n, e, f = 200, 1200, 8
         s, r, w = _random_graph(n, e, seed=12)
