@@ -1,8 +1,15 @@
 from .agnn_pna import AGNNConv, PNAConv
 from .cheb_conv import ChebConv
-from .edge_conv import EdgeConv, GatedGraphConv, NNConv, ResGatedGraphConv
+from .edge_conv import (
+    DynamicEdgeConv,
+    EdgeConv,
+    GatedGraphConv,
+    NNConv,
+    ResGatedGraphConv,
+)
 from .extra_convs import (
     CGConv,
+    FastRGCNConv,
     GENConv,
     MFConv,
     PPFConv,
@@ -33,6 +40,7 @@ __all__ = [
     "GENConv",
     "MFConv",
     "PPFConv",
+    "FastRGCNConv",
     "RGCNConv",
     "WLConv",
     "point_pair_features",
@@ -52,6 +60,7 @@ __all__ = [
     "ARMAConv",
     "ChebConv",
     "ClusterGCNConv",
+    "DynamicEdgeConv",
     "EdgeConv",
     "GATConv",
     "GATv2Conv",

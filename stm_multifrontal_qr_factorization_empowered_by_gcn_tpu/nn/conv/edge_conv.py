@@ -42,6 +42,53 @@ class EdgeConv(MessagePassing):
         )
 
 
+class DynamicEdgeConv(MessagePassing):
+    """EdgeConv over a k-NN graph rebuilt **in feature space** every forward
+    (DGCNN's dynamic graph) — reference
+    ``torch_geometric/nn/conv/edge_conv.py:60-97``.
+
+    The reference calls torch-cluster's ``knn(x, x, k)`` per forward; here
+    the rebuild is the on-device ``utils.knn.knn`` (masked dense top-k —
+    static shapes, jit-safe), so the layer composes under ``jit``/``grad``
+    like any other conv.  Bipartite ``(x_src, x_dst)`` pairs follow the
+    reference semantics: neighbors searched in ``x_src``, centers are
+    ``x_dst``.  ``batch`` (or a ``(batch_src, batch_dst)`` pair) confines
+    neighbors to the same graph; ``mask`` hides padding nodes.
+    """
+
+    mlp: Callable
+    k: int
+    aggr: str = "max"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]],
+        batch: Optional[Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+        *,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        from ...utils.knn import knn
+
+        x_src, x_dst = x if isinstance(x, tuple) else (x, x)
+        b_src, b_dst = (
+            batch if isinstance(batch, tuple) else (batch, batch)
+        )
+        idx, _ = knn(x_src, x_dst, self.k, b_src, b_dst, mask_src=mask)
+        n_dst = x_dst.shape[0]
+        receivers = jnp.repeat(jnp.arange(n_dst, dtype=jnp.int32), self.k)
+        senders = idx.reshape(-1).astype(jnp.int32)
+
+        def message(x_j, x_i, e, w):
+            return self.mlp(jnp.concatenate([x_i, x_j - x_i], axis=-1))
+
+        edge_mask = mask[senders] if mask is not None else None
+        return propagate(
+            (x_src, x_dst), senders, receivers, n_dst,
+            message_fn=message, edge_mask=edge_mask, aggr=self.aggr,
+        )
+
+
 class NNConv(MessagePassing):
     """Edge-conditioned conv: x'_i = x_i W_root + Σ_j x_j · MLP(e_ji)."""
 

@@ -368,3 +368,11 @@ class WLConv:
                 np.linalg.norm(out, axis=-1, keepdims=True), 1e-12
             )
         return out
+
+
+# The reference ships FastRGCNConv (rgcn_conv.py:239) as a perf variant of
+# RGCNConv that trades memory for speed by materializing per-edge weight
+# matrices instead of looping relations.  Here the statically-unrolled
+# masked-relation RGCNConv is already the XLA-friendly fused form (one
+# program, no data-dependent loops), so the fast variant is the same class.
+FastRGCNConv = RGCNConv
