@@ -269,6 +269,317 @@ MDResult min_degree(const Adj& a, const int32_t* given_order /*nullable*/,
 }
 
 // ---------------------------------------------------------------------------
+// Supervariable approximate minimum degree (the fast solver-path mode).
+//
+// The exact-order quotient-graph MD above treats every variable
+// individually — required by the training-data labeler, which wants exact
+// per-node elimination orders, but 10-150x too slow for the solver path
+// (the reference's amd.c orders these matrices in milliseconds precisely
+// because of the three tricks this mode adds, written fresh against the
+// published AMD algorithm [Amestoy, Davis, Duff 1996]):
+//   * supervariables — indistinguishable variables (identical quotient-
+//     graph adjacency) are merged and eliminated together; detected by
+//     hashing each pivot-boundary variable after list compression;
+//   * aggressive element absorption — an element whose boundary is fully
+//     covered by the current pivot's (|L_e \ L_p| = 0, tracked with the
+//     per-pivot w[] counters) is deleted outright;
+//   * dense-variable postponement — variables whose initial degree exceeds
+//     dense_cut never enter the quotient graph and are ordered last.
+// Degrees are AMD's weighted *external* approximate degrees; the returned
+// lnz/flops are estimates (the labeler keeps using the exact mode).
+// ---------------------------------------------------------------------------
+MDResult amd_fast(const Adj& a,
+                  const vector<vector<int32_t>>* init_elements = nullptr,
+                  int32_t dense_cut = -1) {
+  const int32_t n = a.n;
+  const int32_t ne0 = init_elements ? (int32_t)init_elements->size() : 0;
+  const int32_t nid = n + ne0;  // variables [0,n) + initial elements [n,nid)
+  MDResult res;
+  res.perm.reserve(n);
+  if (n == 0) return res;
+  if (dense_cut < 0)
+    dense_cut = std::max<int32_t>(
+        16, (int32_t)(10.0 * std::sqrt((double)n)) );
+
+  // --- initial degrees: exact neighborhood unions -------------------------
+  // In clique mode the Σ(|e|-1) upper bound overcounts clique overlaps by
+  // an order of magnitude on FE-style matrices (bcsstk14: ~1190 vs true
+  // ~80), which (a) misclassifies nearly every variable as dense and
+  // (b) mixes incomparable degree scales into pivot selection — measured
+  // 3x fill blowup.  One stamp-scan per variable (Σ|e|² total) keeps the
+  // dense test and the bucket queue on the same tight scale the external
+  // degrees maintain after the first pivot touch.
+  vector<int64_t> d(n, 0);
+  if (init_elements) {
+    vector<vector<int32_t>> var_els(n);
+    for (int32_t e = 0; e < ne0; ++e)
+      for (int32_t v : (*init_elements)[e]) var_els[v].push_back(e);
+    vector<int32_t> iustamp(n, -1);
+    for (int32_t i = 0; i < n; ++i) {
+      int64_t dd = 0;
+      iustamp[i] = i;
+      for (int64_t p = a.ptr[i]; p < a.ptr[i + 1]; ++p)
+        if (iustamp[a.idx[p]] != i) { iustamp[a.idx[p]] = i; ++dd; }
+      for (int32_t e : var_els[i])
+        for (int32_t x : (*init_elements)[e])
+          if (iustamp[x] != i) { iustamp[x] = i; ++dd; }
+      d[i] = dd;
+    }
+  } else {
+    for (int32_t i = 0; i < n; ++i) d[i] = a.ptr[i + 1] - a.ptr[i];
+  }
+
+  vector<char> dense(n, 0);
+  vector<int32_t> dense_vars;
+  for (int32_t i = 0; i < n; ++i)
+    if (d[i] > dense_cut) { dense[i] = 1; dense_vars.push_back(i); }
+
+  // --- quotient graph state (dense vars excluded everywhere) -------------
+  vector<vector<int32_t>> varadj(n);   // principal-variable adjacency
+  vector<vector<int32_t>> eladj(n);    // variable -> live elements
+  vector<vector<int32_t>> elnodes(nid);  // element -> member variables
+  vector<char> el_live(nid, 0);
+  vector<int32_t> nv(n, 1);            // supervariable weight (0 = absorbed)
+  vector<char> elim(n, 0);
+  vector<vector<int32_t>> members(n);  // absorbed twins, for perm expansion
+
+  for (int32_t i = 0; i < n; ++i) {
+    if (dense[i]) continue;
+    auto& va = varadj[i];
+    va.reserve(a.ptr[i + 1] - a.ptr[i]);
+    for (int64_t p = a.ptr[i]; p < a.ptr[i + 1]; ++p)
+      if (!dense[a.idx[p]]) va.push_back(a.idx[p]);
+  }
+  if (init_elements) {
+    for (int32_t e = 0; e < ne0; ++e) {
+      auto& el = elnodes[n + e];
+      el.reserve((*init_elements)[e].size());
+      for (int32_t v : (*init_elements)[e])
+        if (!dense[v]) el.push_back(v);
+      if (el.size() < 2) { el.clear(); continue; }
+      el_live[n + e] = 1;
+      for (int32_t v : el) eladj[v].push_back(n + e);
+    }
+    // degrees recomputed against the filtered cliques as exact unions —
+    // the Σ(|e|-1) upper bound overcounts clique overlaps by an order of
+    // magnitude on FE-style matrices, and mixing it with the tight
+    // external degrees maintained after the first touch biases pivot
+    // selection toward already-touched variables (measured 3x fill blowup
+    // on bcsstk14); one stamp-scan per variable keeps the scales uniform
+    vector<int32_t> iustamp(n, -1);
+    for (int32_t i = 0; i < n; ++i) {
+      if (dense[i]) continue;
+      int64_t dd = 0;
+      iustamp[i] = i;
+      for (int32_t x : varadj[i])
+        if (iustamp[x] != i) { iustamp[x] = i; ++dd; }
+      for (int32_t e : eladj[i])
+        for (int32_t x : elnodes[e])
+          if (iustamp[x] != i) { iustamp[x] = i; ++dd; }
+      d[i] = dd;
+    }
+  }
+
+  // bucket queue on min(d, n); stale entries skipped on pop
+  vector<vector<int32_t>> buckets(n + 1);
+  int64_t nondense = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    if (dense[i]) continue;
+    buckets[std::min<int64_t>(d[i], n)].push_back(i);
+    ++nondense;
+  }
+  int64_t cursor = 0;
+
+  vector<int32_t> stamp(n, 0);       // variable mark (pivot-boundary test)
+  vector<int32_t> estamp(nid, 0);    // element touched-this-pivot mark
+  vector<int64_t> wval(nid, 0);      // |L_e \ L_p| weighted counters
+  int32_t cur_stamp = 0;
+  vector<int32_t> Lp;                // pivot boundary (principal vars)
+  vector<int64_t> hash_of(n, 0);
+
+  int64_t emitted = 0;
+  const int64_t to_emit = nondense;
+
+  auto emit = [&](int32_t v) {
+    res.perm.push_back(v);
+    for (int32_t m : members[v]) res.perm.push_back(m);
+    emitted += 1 + (int64_t)members[v].size();
+  };
+
+  while (emitted < to_emit) {
+    // --- select pivot -----------------------------------------------------
+    int32_t v = -1;
+    while (true) {
+      while (cursor <= n && buckets[cursor].empty()) ++cursor;
+      if (cursor > n) return res;  // defensive: should be unreachable
+      v = buckets[cursor].back();
+      buckets[cursor].pop_back();
+      if (elim[v] || nv[v] == 0) continue;            // dead/absorbed
+      int64_t b = std::min<int64_t>(d[v], n);
+      if (b != cursor) {                              // stale: reinsert
+        buckets[b].push_back(v);
+        if (b < cursor) cursor = b;
+        continue;
+      }
+      break;
+    }
+
+    // --- form boundary L_p, absorb v's elements ---------------------------
+    ++cur_stamp;
+    Lp.clear();
+    stamp[v] = cur_stamp;
+    for (int32_t u : varadj[v])
+      if (!elim[u] && nv[u] > 0 && stamp[u] != cur_stamp) {
+        stamp[u] = cur_stamp;
+        Lp.push_back(u);
+      }
+    for (int32_t e : eladj[v]) {
+      if (!el_live[e]) continue;
+      for (int32_t u : elnodes[e])
+        if (!elim[u] && nv[u] > 0 && stamp[u] != cur_stamp) {
+          stamp[u] = cur_stamp;
+          Lp.push_back(u);
+        }
+      el_live[e] = 0;                                 // absorbed into v
+      elnodes[e].clear();
+      elnodes[e].shrink_to_fit();
+    }
+    varadj[v].clear();
+    eladj[v].clear();
+
+    // --- per-element |L_e \ L_p| counters + aggressive absorption ---------
+    // every live element adjacent to any u in L_p is initialized on first
+    // touch (simultaneously compacting its dead members), then decremented
+    // by nv[u] for each of its members found in L_p
+    for (int32_t u : Lp) {
+      for (int32_t e : eladj[u]) {
+        if (!el_live[e]) continue;
+        if (estamp[e] != cur_stamp) {
+          estamp[e] = cur_stamp;
+          auto& el = elnodes[e];
+          size_t w = 0;
+          int64_t tot = 0;
+          for (size_t r = 0; r < el.size(); ++r)
+            if (!elim[el[r]] && nv[el[r]] > 0) {
+              el[w++] = el[r];
+              tot += nv[el[r]];
+            }
+          el.resize(w);
+          wval[e] = tot;
+        }
+        wval[e] -= nv[u];
+      }
+    }
+
+    // --- compress each boundary variable's lists ---------------------------
+    // varadj[u] drops: eliminated, absorbed, members of L_p (covered by the
+    // new element v), and v itself; eladj[u] drops dead + absorbed elements
+    for (int32_t u : Lp) {
+      auto& va = varadj[u];
+      size_t w = 0;
+      for (size_t r = 0; r < va.size(); ++r) {
+        int32_t x = va[r];
+        if (elim[x] || nv[x] == 0 || stamp[x] == cur_stamp || x == v) continue;
+        va[w++] = x;
+      }
+      va.resize(w);
+      auto& ea = eladj[u];
+      size_t w2 = 0;
+      for (size_t r = 0; r < ea.size(); ++r) {
+        int32_t e = ea[r];
+        if (!el_live[e]) continue;
+        if (estamp[e] == cur_stamp && wval[e] == 0) {  // aggressive absorb
+          el_live[e] = 0;
+          elnodes[e].clear();
+          elnodes[e].shrink_to_fit();
+          continue;
+        }
+        ea[w2++] = e;
+      }
+      ea.resize(w2);
+      ea.push_back(v);  // the new element (registered below)
+
+      std::sort(va.begin(), va.end());
+      std::sort(ea.begin(), ea.end());
+      int64_t h = 0;
+      for (int32_t x : va) h = h * 131 + x + 1;
+      for (int32_t e : ea) h = h * 131 + e + 1;
+      hash_of[u] = h;
+    }
+
+    // --- supervariable detection (hash buckets, exact list compare) -------
+    if (Lp.size() > 1) {
+      // sort boundary by hash so equal-hash candidates are adjacent
+      std::sort(Lp.begin(), Lp.end(), [&](int32_t x, int32_t y) {
+        return hash_of[x] < hash_of[y] || (hash_of[x] == hash_of[y] && x < y);
+      });
+      for (size_t i = 0; i + 1 < Lp.size(); ++i) {
+        int32_t u = Lp[i];
+        if (nv[u] == 0) continue;
+        for (size_t j = i + 1;
+             j < Lp.size() && hash_of[Lp[j]] == hash_of[u]; ++j) {
+          int32_t t = Lp[j];
+          if (nv[t] == 0) continue;
+          if (varadj[u] == varadj[t] && eladj[u] == eladj[t]) {
+            nv[u] += nv[t];
+            nv[t] = 0;
+            members[u].push_back(t);
+            if (!members[t].empty()) {
+              members[u].insert(members[u].end(), members[t].begin(),
+                                members[t].end());
+              members[t].clear();
+              members[t].shrink_to_fit();
+            }
+            varadj[t].clear(); varadj[t].shrink_to_fit();
+            eladj[t].clear(); eladj[t].shrink_to_fit();
+          }
+        }
+      }
+    }
+
+    // --- register element v, set external degrees, update buckets ---------
+    int64_t wlp = 0;
+    {
+      auto& el = elnodes[v];
+      el.clear();
+      for (int32_t u : Lp)
+        if (nv[u] > 0) { el.push_back(u); wlp += nv[u]; }
+      el_live[v] = !el.empty();
+    }
+    const int64_t s = nv[v];
+    res.lnz += s * wlp + s * (s + 1) / 2;
+    res.flops += s * (wlp + s) * (wlp + s);
+
+    for (int32_t u : Lp) {
+      if (nv[u] == 0) continue;
+      int64_t dd = wlp - nv[u];                        // via element v
+      for (int32_t x : varadj[u]) dd += nv[x];
+      for (int32_t e : eladj[u])
+        if (e != v && estamp[e] == cur_stamp && wval[e] > 0) dd += wval[e];
+      d[u] = std::max<int64_t>(dd, 0);
+      int64_t b = std::min<int64_t>(d[u], n);
+      buckets[b].push_back(u);
+      if (b < cursor) cursor = b;
+    }
+
+    elim[v] = 1;
+    emit(v);
+  }
+
+  // --- postponed dense variables last, lightest first ---------------------
+  std::sort(dense_vars.begin(), dense_vars.end(),
+            [&](int32_t x, int32_t y) { return d[x] < d[y]; });
+  for (int32_t v : dense_vars) {
+    res.perm.push_back(v);
+    // dense columns go near-full: count them as full for the estimate
+    int64_t rem = (int64_t)n - (int64_t)res.perm.size() + 1;
+    res.lnz += rem;
+    res.flops += rem * rem;
+  }
+  return res;
+}
+
+// ---------------------------------------------------------------------------
 // Multilevel graph bisection (the METIS_NodeND / METIS_PartGraph role,
 // written from scratch against the published multilevel scheme):
 //   coarsen by heavy-edge matching -> greedy BFS-grown initial bisection at
@@ -773,6 +1084,60 @@ int stm_ml_partition(int32_t n, int64_t nnz, const int32_t* src,
   vector<int32_t> nodes(n);
   std::iota(nodes.begin(), nodes.end(), 0);
   ml_partition_recurse(a, nodes, 0, parts, part_out);
+  return 0;
+}
+
+
+// Fast solver-path ordering: supervariable AMD with aggressive absorption
+// and dense-variable postponement (the reference amd.c's speed tricks; the
+// exact-order min_degree above stays as the labeler's mode).
+// dense_cut <= 0 picks the default 10*sqrt(n) threshold.
+int stm_order_fast(int32_t n, int64_t nnz, const int32_t* src,
+                   const int32_t* dst, int32_t dense_cut, int32_t* perm_out,
+                   int64_t* lnz_est) {
+  Adj a = build_adj(n, nnz, src, dst, true);
+  MDResult r = amd_fast(a, nullptr, dense_cut > 0 ? dense_cut : -1);
+  if ((int32_t)r.perm.size() != n) return 2;
+  std::memcpy(perm_out, r.perm.data(), sizeof(int32_t) * n);
+  if (lnz_est) *lnz_est = r.lnz;
+  return 0;
+}
+
+// Fast COLAMD-role column ordering: rows enter as cliques, supervariable
+// merging + absorption on the columns.  dense_cut applies to both rows
+// (clique size) and columns (quotient-graph degree).
+int stm_col_order_fast(int32_t nrow, int32_t ncol, int64_t nnz,
+                       const int32_t* row, const int32_t* col,
+                       int32_t dense_cut, int32_t* perm_out,
+                       int64_t* lnz_est) {
+  vector<int64_t> rdeg(nrow + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) rdeg[row[e] + 1]++;
+  vector<int64_t> rptr(nrow + 1, 0);
+  for (int32_t i = 0; i < nrow; ++i) rptr[i + 1] = rptr[i] + rdeg[i + 1];
+  vector<int32_t> rcols(nnz);
+  vector<int64_t> fill = rptr;
+  for (int64_t e = 0; e < nnz; ++e) rcols[fill[row[e]]++] = col[e];
+  int32_t row_cut = dense_cut > 0
+      ? dense_cut
+      : std::max<int32_t>(
+            16, (int32_t)(10 * std::sqrt((double)std::max(ncol, 1))));
+  vector<vector<int32_t>> row_elems;
+  row_elems.reserve(nrow);
+  for (int32_t i = 0; i < nrow; ++i) {
+    int64_t b = rptr[i], e = rptr[i + 1];
+    if (e - b > row_cut || e - b < 2) continue;
+    vector<int32_t> clique(rcols.begin() + b, rcols.begin() + e);
+    std::sort(clique.begin(), clique.end());
+    clique.erase(std::unique(clique.begin(), clique.end()), clique.end());
+    row_elems.push_back(std::move(clique));
+  }
+  Adj empty;
+  empty.n = ncol;
+  empty.ptr.assign(ncol + 1, 0);
+  MDResult r = amd_fast(empty, &row_elems, dense_cut > 0 ? dense_cut : -1);
+  if ((int32_t)r.perm.size() != ncol) return 2;
+  std::memcpy(perm_out, r.perm.data(), sizeof(int32_t) * ncol);
+  if (lnz_est) *lnz_est = r.lnz;
   return 0;
 }
 

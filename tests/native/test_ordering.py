@@ -120,3 +120,62 @@ def test_ml_partition_cut_beats_bfs():
         # balance within 25% of ideal
         sizes = np.bincount(pm, minlength=parts)
         assert sizes.max() <= 1.25 * n / parts
+
+
+def test_order_fast_valid_and_competitive_on_grid():
+    """Supervariable AMD (solver-path fast mode): a valid permutation whose
+    fill is within 2x of the exact-order MD on a 2D grid (in practice it is
+    usually *lower* — tight external degrees order better)."""
+    s, d, n = _grid_edges(32)
+    pe = native.order(s, d, n, native.METHOD_MIN_DEGREE)
+    pf = native.order_fast(s, d, n)
+    assert sorted(pf.tolist()) == list(range(n))
+    fe, _ = native.symbolic_fill(s, d, n, pe)
+    ff, _ = native.symbolic_fill(s, d, n, pf)
+    assert ff < 2 * fe
+
+
+def test_order_fast_supervariables_on_clique_chain():
+    """A chain of 8-cliques is full of indistinguishable variables: the
+    fast mode must produce an ordering at least as good as exact MD (both
+    should find the no-fill elimination: cliques already complete)."""
+    rng = np.random.default_rng(0)
+    blocks = 20
+    s_l, d_l = [], []
+    for b in range(blocks):
+        ids = np.arange(b * 8, b * 8 + 8)
+        a = np.repeat(ids, 8); c = np.tile(ids, 8)
+        m = a < c
+        s_l.append(a[m]); d_l.append(c[m])
+        if b:
+            s_l.append(np.array([b * 8 - 1])); d_l.append(np.array([b * 8]))
+    s = np.concatenate(s_l).astype(np.int32)
+    d = np.concatenate(d_l).astype(np.int32)
+    n = blocks * 8
+    pf = native.order_fast(s, d, n)
+    assert sorted(pf.tolist()) == list(range(n))
+    ff, _ = native.symbolic_fill(s, d, n, pf)
+    fe, _ = native.symbolic_fill(
+        s, d, n, native.order(s, d, n, native.METHOD_MIN_DEGREE))
+    assert ff <= fe * 1.05
+
+
+def test_col_order_fast_matches_contract():
+    rng = np.random.default_rng(1)
+    nrow, ncol, nnz = 300, 200, 2400
+    r = rng.integers(0, nrow, nnz).astype(np.int32)
+    c = rng.integers(0, ncol, nnz).astype(np.int32)
+    pf = native.col_order_fast(r, c, nrow, ncol)
+    assert sorted(pf.tolist()) == list(range(ncol))
+
+
+def test_order_fast_dense_postponement():
+    """A star hub (degree n-1) must be eliminated last — postponed as a
+    dense variable, like the reference amd.c's dense-row handling."""
+    n = 600
+    spokes = np.arange(1, n, dtype=np.int32)
+    s = np.concatenate([np.zeros(n - 1, np.int32), spokes[:-1]])
+    d = np.concatenate([spokes, spokes[1:]])
+    p = native.order_fast(s, d, n)
+    assert sorted(p.tolist()) == list(range(n))
+    assert p[-1] == 0
