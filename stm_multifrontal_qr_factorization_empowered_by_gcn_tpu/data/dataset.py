@@ -24,6 +24,9 @@ Transform = Callable[[Graph], Graph]
 
 def save_graphs(path: str, graphs: Sequence[Graph]) -> None:
     """Serialize a list of graphs as one collated npz archive."""
+    if not graphs:  # a legitimately empty split (e.g. all-train corpora)
+        np.savez_compressed(path, n_node=np.zeros(0, np.int32))
+        return
     b = batch_graphs(list(graphs))
     arrays = {
         "nodes": np.asarray(b.nodes),
@@ -41,6 +44,8 @@ def save_graphs(path: str, graphs: Sequence[Graph]) -> None:
 
 def load_graphs(path: str) -> List[Graph]:
     with np.load(path) as z:
+        if "nodes" not in z:  # empty-split marker (see save_graphs)
+            return []
         b = Graph(
             nodes=z["nodes"],
             senders=z["senders"],

@@ -88,6 +88,14 @@ class CitationFull(_NpzGraphDataset):
         return [f"{self.name}.npz"]
 
 
+class CoraFull(CitationFull):
+    """reference ``citation_full.py:66-76`` — alias for the full Cora
+    citation graph (``CitationFull(root, 'cora')``)."""
+
+    def __init__(self, root, transform=None, pre_transform=None):
+        super().__init__(root, "cora", transform, pre_transform)
+
+
 class Reddit(InMemoryDataset):
     """reference ``reddit.py`` — 233k-node post-to-post graph
     (``reddit_data.npz`` features/labels + ``reddit_graph.npz`` sparse adj)."""
