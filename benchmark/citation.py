@@ -149,10 +149,10 @@ def main():
         g, masks = ds.get(0), ds.split_masks
         src = "Cora"
     except Exception:
-        from examples._common import synthetic_planetoid
+        from examples._common import synthetic_cora
 
-        g, masks = synthetic_planetoid()
-        src = "synthetic"
+        g, masks = synthetic_cora()
+        src = "synthetic-cora (protocol-faithful shape/split, no egress)"
 
     x = jnp.asarray(g.nodes)
     y = jnp.asarray(g.y).reshape(-1)

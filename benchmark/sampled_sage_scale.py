@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""End-to-end sampled-SAGE throughput at ogbn-arxiv scale — BASELINE
+config 4 (the reference's ``examples/reddit.py`` minibatch flow:
+NeighborSampler fanout [25, 10] + 2-layer SAGEConv).
+
+No egress, so the graph is synthesized at ogbn-arxiv shape: 169,343
+nodes, ~1.2M directed edges, Zipf-1.5 in-degree skew (the power-law
+regime Reddit/ogbn live in), 128 features, 40 classes.
+
+Reports per-epoch wall time and end-to-end *base-graph* edges/s (epochs ·
+E / wall — the reference's headline unit), plus the sampled-edge rate the
+pipeline actually moves through the device.
+
+Usage: python benchmark/sampled_sage_scale.py [--cpu] [--nodes N]
+       [--edges E] [--epochs 3] [--batch 1024]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_powerlaw(n, e, f, classes, seed=0):
+    rng = np.random.default_rng(seed)
+    # Zipf-1.5 receiver popularity (hub-heavy, like citation in-degree)
+    pop = rng.zipf(1.5, size=n).astype(np.float64)
+    p = pop / pop.sum()
+    recv = rng.choice(n, size=e, p=p).astype(np.int32)
+    send = rng.integers(0, n, size=e).astype(np.int32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    y = rng.integers(0, classes, size=n).astype(np.int32)
+    return x, send, recv, y
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--nodes", type=int, default=169_343)
+    ap.add_argument("--edges", type=int, default=1_166_243)
+    ap.add_argument("--feat", type=int, default=128)
+    ap.add_argument("--classes", type=int, default=40)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--fanouts", type=int, nargs="+", default=[25, 10])
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.data import (
+        NeighborSampler,
+    )
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.nn import (
+        SAGEConv,
+    )
+
+    x, send, recv, y = synth_powerlaw(
+        args.nodes, args.edges, args.feat, args.classes)
+    n = args.nodes
+    train_idx = np.arange(0, n, 2)  # ~50% train split like arxiv's 54%
+
+    t0 = time.time()
+    loader = NeighborSampler(
+        send, recv, n, sizes=args.fanouts, node_idx=train_idx,
+        batch_size=args.batch, shuffle=True)
+    t_table = time.time() - t0
+
+    dims = (256, args.classes)
+
+    class SAGE(nn.Module):
+        @nn.compact
+        def __call__(self, h, blocks):
+            for i, blk in enumerate(blocks):
+                h_dst = h[: blk.num_dst]
+                h = SAGEConv((h.shape[-1], h.shape[-1]), dims[i],
+                             name=f"conv{i}")(
+                    (h, h_dst), blk.senders, blk.receivers,
+                    num_nodes=blk.num_dst, edge_mask=blk.edge_mask)
+                if i < len(dims) - 1:
+                    h = nn.relu(h)
+            return jax.nn.log_softmax(h)
+
+    model = SAGE()
+    tx = optax.adam(3e-3)
+
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y)
+
+    seeds, blocks = next(iter(loader))
+    params = model.init(jax.random.key(0), xj[blocks[0].src_ids], blocks)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, feats, blocks, labels):
+        def loss(p):
+            logp = model.apply(p, feats, blocks)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, labels[:, None], 1))
+
+        l, grads = jax.value_and_grad(loss)(params)
+        u, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, u), opt, l
+
+    # warm-up compile on one batch
+    params, opt, _ = step(params, opt, xj[blocks[0].src_ids], blocks,
+                          yj[seeds])
+    jax.block_until_ready(params)
+
+    dev = jax.devices()[0].platform
+    print(f"device={dev} N={n} E={args.edges} F={args.feat} "
+          f"fanouts={args.fanouts} batch={args.batch} "
+          f"batches/epoch={len(loader)} table_build={t_table:.2f}s")
+
+    sampled_edges = 0
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        te = time.time()
+        last = None
+        for seeds, blocks in loader:
+            params, opt, last = step(
+                params, opt, xj[blocks[0].src_ids], blocks, yj[seeds])
+            for blk in blocks:
+                sampled_edges += int(blk.senders.shape[0])
+        jax.block_until_ready(last)
+        print(f"epoch {epoch}: {time.time() - te:.3f}s "
+              f"loss={float(last):.4f}")
+    wall = time.time() - t0
+
+    base_rate = args.epochs * args.edges / wall
+    samp_rate = sampled_edges / wall
+    print(f"epoch_time={wall / args.epochs:.3f}s "
+          f"base_edges_per_s={base_rate / 1e6:.1f}M "
+          f"sampled_edges_per_s={samp_rate / 1e6:.1f}M")
+
+
+if __name__ == "__main__":
+    main()
