@@ -88,6 +88,61 @@ def synthetic_cora(seed=0, topic_frac=0.32, homophily=0.65):
     return g, {"train": train, "val": val, "test": test}
 
 
+_DIGIT_STROKES = {
+    # coarse polyline skeletons of the ten digits in the unit square
+    0: [(0.3, 0.2), (0.7, 0.2), (0.8, 0.5), (0.7, 0.8), (0.3, 0.8),
+        (0.2, 0.5), (0.3, 0.2)],
+    1: [(0.5, 0.15), (0.5, 0.85)],
+    2: [(0.25, 0.75), (0.5, 0.85), (0.75, 0.7), (0.3, 0.2), (0.75, 0.2)],
+    3: [(0.3, 0.8), (0.7, 0.75), (0.45, 0.5), (0.7, 0.3), (0.3, 0.2)],
+    4: [(0.65, 0.15), (0.65, 0.85), (0.25, 0.4), (0.8, 0.4)],
+    5: [(0.75, 0.8), (0.3, 0.8), (0.3, 0.55), (0.7, 0.5), (0.7, 0.25),
+        (0.3, 0.2)],
+    6: [(0.65, 0.85), (0.35, 0.6), (0.3, 0.35), (0.5, 0.2), (0.7, 0.35),
+        (0.35, 0.45)],
+    7: [(0.25, 0.8), (0.75, 0.8), (0.45, 0.15)],
+    8: [(0.5, 0.5), (0.3, 0.65), (0.5, 0.85), (0.7, 0.65), (0.5, 0.5),
+        (0.3, 0.35), (0.5, 0.15), (0.7, 0.35), (0.5, 0.5)],
+    9: [(0.65, 0.55), (0.4, 0.7), (0.45, 0.85), (0.65, 0.75),
+        (0.6, 0.2)],
+}
+
+
+def synthetic_mnist_superpixels(num=120, nodes=75, seed=0):
+    """MNIST-superpixels stand-in (no egress): 75 jittered-grid
+    superpixel centers per image, intensity = proximity to a digit's
+    polyline skeleton.  Returns (x [num,75,1], pos [num,75,2],
+    y [num])."""
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(nodes)))
+    gx, gy = np.meshgrid(np.linspace(0.1, 0.9, side),
+                         np.linspace(0.1, 0.9, side))
+    base = np.stack([gx.ravel(), gy.ravel()], axis=1)[:nodes]
+
+    def stroke_dist(p, cls):
+        pts = np.asarray(_DIGIT_STROKES[cls], np.float32)
+        d = np.full(len(p), np.inf)
+        for a, b in zip(pts[:-1], pts[1:]):
+            ab = b - a
+            t = np.clip(((p - a) @ ab) / max(ab @ ab, 1e-9), 0, 1)
+            proj = a + t[:, None] * ab
+            d = np.minimum(d, np.linalg.norm(p - proj, axis=1))
+        return d
+
+    xs, ps, ys = [], [], []
+    for i in range(num):
+        cls = i % 10
+        pos = base + rng.normal(scale=0.02, size=base.shape)
+        inten = np.exp(-(stroke_dist(pos, cls) / 0.08) ** 2)
+        inten += 0.05 * rng.random(len(pos))
+        xs.append(inten[:, None].astype(np.float32))
+        ps.append(pos.astype(np.float32))
+        ys.append(cls)
+    order = rng.permutation(num)
+    return (np.stack(xs)[order], np.stack(ps)[order],
+            np.asarray(ys, np.int32)[order])
+
+
 def synthetic_pointclouds(num=96, points=64, seed=0):
     """3-class shape dataset (the reference's ModelNet/MNIST-superpixel
     role): points sampled on a sphere, a cube surface, or two blobs."""
