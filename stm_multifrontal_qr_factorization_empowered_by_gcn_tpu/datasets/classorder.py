@@ -96,8 +96,9 @@ class Classorder(InMemoryDataset):
 
     @property
     def processed_file_names(self):
+        # v3: family-dispatched structure synthesis (synth_structure.py)
         # v2: globals carry optional per-method fills in columns 10:14
-        return [f"{s}_seed{self.split_seed}_v2.npz" for s in SPLITS]
+        return [f"{s}_seed{self.split_seed}_v3.npz" for s in SPLITS]
 
     def download(self):
         raise FileNotFoundError(

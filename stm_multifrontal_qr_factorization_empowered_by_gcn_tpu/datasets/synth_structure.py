@@ -9,9 +9,26 @@ instead synthesize a sparse pattern per graph that matches the *published*
 statistics (n, nnz, average degree, degree extremes) and run the verified
 feature generator on it.  Synthesis is deterministic per ``(graph_id, seed)``.
 
-Shape of the synthetic pattern: full diagonal + near-diagonal band with a
-lognormal out-degree profile — the typical SuiteSparse FEM/circuit structure
-that the training corpus (GCNdata_408.txt) is drawn from.
+The 408-set (``GCNdata_408.txt``) is dominated by three SuiteSparse
+families — circuit DC-operating-point sweeps (adder/oscil/fpga ``_dcop``,
+~40 %), FEM/CFD meshes (cavity, pores, sherman, …), and small
+graph-drawing/miscellaneous digraphs (GD*, Tina*, …).  A single banded
+generator (the round-1/2 design) reproduces none of their *ordering
+physics*: on bands minimum-degree is near-optimal, so the synthesized
+corpus almost never prefers nested dissection, while the published labels
+choose NESDIS 64 % of the time.  This version dispatches on the published
+statistics to a topology family with the right separator structure:
+
+* ``geometric`` (symmetric degree extremes, moderate skew) — a random
+  geometric graph: n points in a 2-D unit square, each connected to its
+  nearest neighbors until the published nnz is met, symmetrized.  Has
+  sqrt(n) separators and no narrow band — the regime where (nested)
+  dissection beats minimum-degree, like the FEM/CFD members.
+* ``circuit`` (high degree skew) — sparse near-tree connectivity plus a
+  few hub rows/columns at the published max degrees (the dcop shape:
+  supply rails touch everything).
+* ``random`` (small n) — a uniform digraph with the published degree
+  range (graph-drawing/miscellaneous members).
 """
 from __future__ import annotations
 
@@ -19,6 +36,114 @@ import numpy as np
 
 from ..io.features import GraphFeatures, compute_features
 from ..io.mtx import Triplets
+
+
+def _dedupe(src, dst, n):
+    key = np.unique(src.astype(np.int64) * n + dst.astype(np.int64))
+    return key // n, key % n
+
+
+def _geometric(rng, n, offdiag, symmetric):
+    """Random geometric graph: k-nearest-neighbor edges in the unit
+    square, symmetrized; sqrt(n)-separator topology."""
+    pts = rng.random((n, 2))
+    # grid-bucketed kNN (avoid O(n^2) for the 9k-node members)
+    k = max(1, int(round(offdiag / (2 * n) if symmetric else offdiag / n)))
+    k = min(k + 1, n - 1)
+    side = max(1, int(np.sqrt(n / max(k, 1))))
+    cell = (pts * side).astype(np.int64)
+    cell_id = cell[:, 0] * side + cell[:, 1]
+    order = np.argsort(cell_id)
+    src_list, dst_list = [], []
+    # connect each point to k nearest within its own + neighbor cells
+    bucket_of = {}
+    for idx in order:
+        bucket_of.setdefault(int(cell_id[idx]), []).append(int(idx))
+    for cid, members in bucket_of.items():
+        cx, cy = cid // side, cid % side
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = cx + dx, cy + dy
+                if 0 <= nx < side and 0 <= ny < side:
+                    cand.extend(bucket_of.get(nx * side + ny, ()))
+        cand = np.asarray(cand)
+        p = pts[members]
+        d = ((p[:, None] - pts[cand][None]) ** 2).sum(-1)
+        kk = min(k + 1, len(cand))
+        nearest = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        for mi, m in enumerate(members):
+            for j in cand[nearest[mi]]:
+                if j != m:
+                    src_list.append(m)
+                    dst_list.append(int(j))
+    src = np.asarray(src_list, np.int64)
+    dst = np.asarray(dst_list, np.int64)
+    if symmetric:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    return _dedupe(src, dst, n)
+
+
+def _circuit(rng, n, offdiag, max_rdeg, max_cdeg):
+    """dcop-like: sparse near-tree local connectivity + hub rows/cols."""
+    hub_r = min(max(1, n // 500 + 1), 4)
+    hub_c = min(max(1, n // 500 + 1), 4)
+    hubs_r = rng.choice(n, hub_r, replace=False)
+    hubs_c = rng.choice(n, hub_c, replace=False)
+    src_list = [np.repeat(hubs_r, min(max_rdeg, n - 1))]
+    dst_list = [np.concatenate([
+        rng.choice(n, min(max_rdeg, n - 1), replace=False)
+        for _ in range(hub_r)])]
+    src_list.append(np.concatenate([
+        rng.choice(n, min(max_cdeg, n - 1), replace=False)
+        for _ in range(hub_c)]))
+    dst_list.append(np.repeat(hubs_c, min(max_cdeg, n - 1)))
+    used = sum(len(a) for a in src_list)
+    rest = max(offdiag - used, 0)
+    # local tree-ish connections: each node to a few random recent nodes
+    # (random-attachment gives the dcop family's straggly structure)
+    m = rest
+    src = rng.integers(1, n, m)
+    dst = (src * rng.random(m) ** 2).astype(np.int64)  # skew to earlier
+    src_list.append(src)
+    dst_list.append(dst)
+    src = np.concatenate(src_list)
+    dst = np.concatenate(dst_list)
+    keep = src != dst
+    return _dedupe(src[keep], dst[keep], n)
+
+
+def _banded(rng, n, offdiag, mean_deg, max_rdeg, min_rdeg):
+    """Near-diagonal band with a lognormal out-degree profile (the
+    round-1 generator, kept for the sparse-unsymmetric regime)."""
+    sigma = min(1.2, max(0.2, np.log(max(max_rdeg, 2) / mean_deg) / 3.0))
+    deg = rng.lognormal(np.log(mean_deg), sigma, size=n)
+    deg = np.clip(np.round(deg), max(min_rdeg, 0),
+                  max(max_rdeg, 1)).astype(np.int64)
+    deg[rng.integers(n)] = min(max_rdeg, n - 1)
+    total = int(deg.sum())
+    if total > 0:
+        deg = np.round(deg * (offdiag / total)).astype(np.int64)
+    deg = np.clip(deg, 0, n - 1)
+    band = max(2, int(3.0 * mean_deg))
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    off = np.round(rng.laplace(0.0, band, size=src.shape[0])).astype(np.int64)
+    off = np.where(off == 0, 1, off)
+    dst = np.clip(src + off, 0, n - 1)
+    keep = src != dst
+    return _dedupe(src[keep], dst[keep], n)
+
+
+def _random_digraph(rng, n, offdiag):
+    m = int(offdiag * 1.15) + 1
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = _dedupe(src[keep], dst[keep], n)
+    if len(src) > offdiag:
+        sel = rng.choice(len(src), offdiag, replace=False)
+        src, dst = src[sel], dst[sel]
+    return src, dst
 
 
 def synthesize_triplets(
@@ -41,29 +166,22 @@ def synthesize_triplets(
         return Triplets(rows, cols, np.ones(n), n, n, False)
 
     mean_deg = max(offdiag_target / n, 0.1)
-    # lognormal out-degrees, clipped to the published extremes
-    sigma = min(1.2, max(0.2, np.log(max(max_rdeg, 2) / mean_deg) / 3.0))
-    deg = rng.lognormal(np.log(mean_deg), sigma, size=n)
-    deg = np.clip(np.round(deg), max(min_rdeg, 0), max(max_rdeg, 1)).astype(np.int64)
-    # force at least one node to carry the published max out-degree
-    deg[rng.integers(n)] = min(max_rdeg, n - 1)
-    # rescale to hit the target edge count
-    total = int(deg.sum())
-    if total > 0:
-        deg = np.round(deg * (offdiag_target / total)).astype(np.int64)
-    deg = np.clip(deg, 0, n - 1)
+    skew = max(max_rdeg, max_cdeg) / max(mean_deg, 0.5)
+    symmetric = (max_rdeg == max_cdeg) and (min_rdeg == min_cdeg)
 
-    band = max(2, int(3.0 * mean_deg))
-    src = np.repeat(np.arange(n, dtype=np.int64), deg)
-    off = np.round(rng.laplace(0.0, band, size=src.shape[0])).astype(np.int64)
-    off = np.where(off == 0, 1, off)
-    dst = np.clip(src + off, 0, n - 1)
-    keep = src != dst
-    src, dst = src[keep], dst[keep]
-    # dedupe
-    key = src * n + dst
-    key = np.unique(key)
-    src, dst = key // n, key % n
+    if n < 120:
+        src, dst = _random_digraph(rng, n, offdiag_target)
+    elif skew > 24.0:
+        src, dst = _circuit(rng, n, offdiag_target, int(max_rdeg),
+                            int(max_cdeg))
+    elif not symmetric and mean_deg < 4.5:
+        # very sparse unsymmetric (chemical-process shape: west/fs/…):
+        # near-banded with laplace offsets — low elimination fill, the
+        # regime where the published labels prefer MD/COLAMD
+        src, dst = _banded(rng, n, offdiag_target, mean_deg,
+                           int(max_rdeg), int(min_rdeg))
+    else:
+        src, dst = _geometric(rng, n, offdiag_target, symmetric)
 
     rows = np.concatenate([np.arange(n, dtype=np.int64), src])
     cols = np.concatenate([np.arange(n, dtype=np.int64), dst])
