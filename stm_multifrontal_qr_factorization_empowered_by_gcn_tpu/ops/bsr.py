@@ -208,6 +208,25 @@ def bsr_matmul(m: BsrMatrix, x: jnp.ndarray, *, interpret: bool = False) -> jnp.
     return bsr_matmul_xla(m, x)
 
 
+def bsr_matmul_fused(
+    m: BsrMatrix, x: jnp.ndarray, alpha, *, interpret: bool = False
+):
+    """``(alpha * (A @ x), sum((alpha * (A @ x)) ** 2))`` — forward-only.
+
+    On TPU the scale and the sum-of-squares ride the Pallas kernel's
+    resident output window (zero extra HBM passes); elsewhere an XLA
+    fallback computes the same values. This is the chained-layer
+    normalization pattern ``x_{t+1} = y_t * rsqrt(mean(y_t^2) + eps)``
+    restated so the normalizer of step t is applied inside step t+1's SpMM
+    (``A @ (alpha x) == alpha (A @ x)``)."""
+    from .pallas.bsr_kernel import bsr_available, bsr_matmul_fused_pallas
+
+    if bsr_available() or interpret:
+        return bsr_matmul_fused_pallas(m, x, alpha, interpret=interpret)
+    y = jnp.asarray(alpha, jnp.float32) * bsr_matmul_xla(m, x)
+    return y, jnp.sum(y * y)
+
+
 @jax.custom_vjp
 def spmm_bsr(x: jnp.ndarray, m_fwd: BsrMatrix, m_bwd: BsrMatrix) -> jnp.ndarray:
     """Differentiable BSR SpMM; ``m_bwd`` must be the transpose structure

@@ -101,3 +101,92 @@ def bsr_matmul_pallas(m, x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
         interpret=interpret,
     )(m.browf, m.bcol, m.blocks, xp)
     return out[: m.num_rows].astype(x.dtype)
+
+
+def _kernel_fused(browf_ref, bcol_ref, alpha_ref, blk_ref, x_ref, out_ref, ss_ref):
+    """SpMM step with a fused input scale + sum-of-squares epilogue.
+
+    ``out = alpha * (A @ x)`` and ``ss[brow, :] = sum_r out[brow*128+r, :]^2``
+    written once per block-row at its last visit — the chained-GNN-layer
+    normalization pattern (``y * rsqrt(mean(y^2)+eps)`` feeding the next
+    SpMM) then costs ZERO extra HBM passes: the scale rides the MXU
+    accumulate (``A @ (alpha x) == alpha (A @ x)``) and the reduction reads
+    the output window while it is still resident in VMEM.
+    """
+    k = pl.program_id(0)
+    nk = pl.num_programs(0)
+    prev = browf_ref[jnp.maximum(k - 1, 0)]
+    first_of_row = jnp.logical_or(k == 0, prev != browf_ref[k])
+
+    @pl.when(first_of_row)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += alpha_ref[0, 0] * jax.lax.dot_general(
+        blk_ref[0],
+        x_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    nxt = browf_ref[jnp.minimum(k + 1, nk - 1)]
+    last_of_row = jnp.logical_or(k == nk - 1, nxt != browf_ref[k])
+
+    @pl.when(last_of_row)
+    def _():
+        o = out_ref[...]
+        ss_ref[...] = jnp.sum(o * o, axis=0, keepdims=True)
+
+
+def bsr_matmul_fused_pallas(
+    m, x: jnp.ndarray, alpha, *, interpret: bool = False
+):
+    """``(alpha * (A @ x), per-block-row sum-of-squares partials)``.
+
+    Returns ``(out[:num_rows], ss)`` with ``ss`` of shape ``[nbrow, F]``;
+    ``ss.sum() == sum(out**2)`` exactly (rows past ``num_rows`` receive no
+    edges, so they are zero and contribute nothing). Forward-only — the
+    chained-inference / benchmark fast path."""
+    f = x.shape[1]
+    nbrow = m.nbrow
+    nnzb = m.blocks.shape[0]
+    bc = m.block_cols
+    nbcol = max(-(-m.num_cols // bc), 1)
+
+    xp = x
+    pad = nbcol * bc - x.shape[0]
+    if pad > 0:
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nnzb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alpha, shape (1, 1)
+            pl.BlockSpec((1, BLOCK, bc), lambda k, browf, bcol: (k, 0, 0)),
+            pl.BlockSpec((bc, f), lambda k, browf, bcol: (bcol[k], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK, f), lambda k, browf, bcol: (browf[k], 0)),
+            pl.BlockSpec((1, f), lambda k, browf, bcol: (browf[k], 0)),
+        ],
+    )
+    out, ss = pl.pallas_call(
+        _kernel_fused,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nbrow * BLOCK, f), jnp.float32),
+            jax.ShapeDtypeStruct((nbrow, f), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        m.browf,
+        m.bcol,
+        jnp.asarray(alpha, jnp.float32).reshape(1, 1),
+        m.blocks,
+        xp,
+    )
+    return out[: m.num_rows].astype(x.dtype), jnp.sum(ss)

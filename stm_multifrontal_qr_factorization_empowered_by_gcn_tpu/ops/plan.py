@@ -143,6 +143,28 @@ class SpmmPlan(NamedTuple):
             out = jnp.zeros_like(x)
         return permute_rows(out, self.inv_perm, self.perm)
 
+    def apply_fused(self, x: jnp.ndarray, alpha) -> tuple:
+        """Forward-only fused epilogue: ``(alpha * (A @ x), sum(out**2))``.
+
+        The chained-layer normalization pattern (each SpMM's output is
+        rescaled by ``rsqrt(mean(y^2)+eps)`` before feeding the next layer)
+        restated so the scale rides the NEXT SpMM's MXU accumulate and the
+        sum-of-squares is reduced from the kernel's resident output window —
+        on the pure-BSR path this costs zero extra HBM passes (the unfused
+        form pays ~3 full feature-matrix passes per layer). Other plan
+        shapes fall back to ``apply`` + XLA elementwise (same values)."""
+        if (
+            self.method == "bsr"
+            and self.perm is None
+            and self.bsr_fwd is not None
+            and self.bsr_fwd.num_rows == self.num_nodes
+        ):
+            from .bsr import bsr_matmul_fused
+
+            return bsr_matmul_fused(self.bsr_fwd, x, alpha)
+        y = jnp.asarray(alpha, x.dtype) * self.apply(x)
+        return y, jnp.sum(y * y)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.apply(x)
 

@@ -75,6 +75,50 @@ class TestBsr:
         ref = 2 * A.T @ (A @ np.asarray(x))
         np.testing.assert_allclose(g, ref, atol=1e-3)
 
+    def test_fused_scale_sumsq_matches_dense(self):
+        # apply_fused semantics: (alpha*(A@x), sum(out^2)) — both the Pallas
+        # kernel (interpret) and the XLA fallback must match the dense ref
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.bsr import (
+            bsr_matmul_fused,
+        )
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.pallas.bsr_kernel import (
+            bsr_matmul_fused_pallas,
+        )
+
+        n, e, f = 300, 2500, 32
+        s, r, w = _random_graph(n, e, seed=21)
+        x = jnp.asarray(
+            np.random.default_rng(22).normal(size=(n, f)).astype(np.float32)
+        )
+        alpha = 0.37
+        ref = alpha * (_dense(s, r, w, n) @ np.asarray(x))
+        ref_ss = float((ref**2).sum())
+        m, _ = bsr_from_coo(s, r, n, edge_weight=w)
+        y, ss = bsr_matmul_fused(m, x, alpha)  # XLA fallback on CPU
+        np.testing.assert_allclose(y, ref, atol=1e-4)
+        np.testing.assert_allclose(float(ss), ref_ss, rtol=1e-5)
+        yp, ssp = bsr_matmul_fused_pallas(m, x, alpha, interpret=True)
+        np.testing.assert_allclose(yp, ref, atol=1e-4)
+        np.testing.assert_allclose(float(ssp), ref_ss, rtol=1e-5)
+
+    def test_fused_pallas_empty_block_rows(self):
+        # padded zero blocks must not corrupt the sum-of-squares epilogue
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.pallas.bsr_kernel import (
+            bsr_matmul_fused_pallas,
+        )
+
+        n = 256
+        s = np.arange(100, dtype=np.int32)
+        r = (np.arange(100, dtype=np.int32) * 7) % 128
+        m, _ = bsr_from_coo(s, r, n)
+        x = jnp.asarray(
+            np.random.default_rng(23).normal(size=(n, 8)).astype(np.float32)
+        )
+        ref = 2.0 * (_dense(s, r, None, n) @ np.asarray(x))
+        y, ss = bsr_matmul_fused_pallas(m, x, 2.0, interpret=True)
+        np.testing.assert_allclose(y, ref, atol=1e-4)
+        np.testing.assert_allclose(float(ss), float((ref**2).sum()), rtol=1e-5)
+
     def test_empty_block_rows(self):
         # nodes 128..255 receive nothing -> whole block-row empty
         n = 256
@@ -208,6 +252,23 @@ class TestPlan:
         plan = build_spmm_plan(s, r, n, edge_weight=w, relabel="degree")
         assert plan.perm is not None
         np.testing.assert_allclose(plan.apply(x), ref, atol=1e-3)
+
+    def test_apply_fused_matches_apply(self):
+        # plan-level equivalence on both the engaged (pure BSR) and the
+        # fallback (ELL) shapes: fused == alpha*apply(x), ss == sum(out^2)
+        n, e, f = 300, 3000, 16
+        s, r, w = _random_graph(n, e, seed=24)
+        x = jnp.asarray(
+            np.random.default_rng(25).normal(size=(n, f)).astype(np.float32)
+        )
+        for force in ("bsr", "ell"):
+            plan = build_spmm_plan(s, r, n, edge_weight=w, force=force)
+            ref = 1.7 * np.asarray(plan.apply(x))
+            y, ss = plan.apply_fused(x, 1.7)
+            np.testing.assert_allclose(y, ref, atol=1e-4)
+            np.testing.assert_allclose(
+                float(ss), float((ref**2).sum()), rtol=1e-5
+            )
 
     def test_plan_grad(self):
         n, e, f = 200, 1200, 8
