@@ -100,7 +100,9 @@ def main():
                         == target)
 
     rng = np.random.default_rng(1)
-    for epoch in range(1, 21):
+    # STM_EX_EPOCHS: test-suite budget cap (multiple of 5 — the eval cadence)
+    n_epochs = min(20, int(os.environ.get("STM_EX_EPOCHS", "20")))
+    for epoch in range(1, n_epochs + 1):
         tot = 0.0
         for i in rng.permutation(len(train)):
             args = tuple(jnp.asarray(a) for a in train[i])

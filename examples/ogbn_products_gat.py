@@ -69,7 +69,9 @@ def main():
         u, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, u), opt, l
 
-    for epoch in range(1, 4):
+    # STM_EX_EPOCHS: test-suite budget cap
+    n_epochs = min(3, int(os.environ.get("STM_EX_EPOCHS", "3")))
+    for epoch in range(1, n_epochs + 1):
         tot, nb = 0.0, 0
         for seeds, blocks in loader:
             params, opt, l = step(params, opt, xj[blocks[0].src_ids],
