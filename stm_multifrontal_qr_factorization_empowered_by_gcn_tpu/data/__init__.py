@@ -1,3 +1,10 @@
+"""Graph containers, batching, loaders, and samplers.
+
+TPU-first re-design of reference ``torch_geometric/data/``: the ragged
+``Data``/``Batch`` pair becomes a static-shape :class:`Graph` pytree with
+padded disconnected-union batching, bucketed collation, and on-device
+fanout/cluster/SAINT samplers.
+"""
 from .graph import Graph, from_edge_index, edge_index_of
 from .batch import batch_graphs, pad_graph, pad_to_bucket, bucket_shape, unbatch
 from .dataset import Dataset, InMemoryDataset, save_graphs, load_graphs

@@ -153,6 +153,7 @@ def pad_to_bucket(
     node_multiple: int = 128,
     edge_multiple: int = 512,
 ) -> Graph:
+    """Pad a batch to the next ``(num_nodes, num_edges, num_graphs)`` bucket so jit recompiles only per bucket, not per shape."""
     n, e = bucket_shape(
         int(np.sum(g.n_node)),
         int(np.sum(g.n_edge)),

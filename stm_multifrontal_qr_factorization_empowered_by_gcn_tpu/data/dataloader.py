@@ -15,6 +15,7 @@ from .graph import Graph
 
 
 class DataLoader:
+    """Minibatch iterator collating graph lists into disconnected-union batches (reference ``data/dataloader.py:DataLoader``)."""
     def __init__(
         self,
         dataset,

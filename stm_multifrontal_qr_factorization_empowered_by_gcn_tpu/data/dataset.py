@@ -43,6 +43,7 @@ def save_graphs(path: str, graphs: Sequence[Graph]) -> None:
 
 
 def load_graphs(path: str) -> List[Graph]:
+    """Load a list of :class:`Graph` pytrees from one ``.npz`` written by ``save_graphs``."""
     with np.load(path) as z:
         if "nodes" not in z:  # empty-split marker (see save_graphs)
             return []

@@ -14,6 +14,7 @@ import numpy as np
 
 
 class TemporalData:
+    """Event-stream container ``(src, dst, t, msg)`` for temporal GNNs (reference ``data/temporal.py:TemporalData``)."""
     def __init__(self, src=None, dst=None, t=None, msg=None, y=None, **kwargs):
         self.src = None if src is None else np.asarray(src)
         self.dst = None if dst is None else np.asarray(dst)

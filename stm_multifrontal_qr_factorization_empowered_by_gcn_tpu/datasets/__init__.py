@@ -1,3 +1,7 @@
+"""Dataset classes — the reference surface (49 names, ``torch_geometric/datasets/``)
+plus the custom Classorder/ClassorderTest/Reorder corpora and their
+synthetic-structure generator.
+"""
 from .benchsets import GNNBenchmarkDataset, MNISTSuperpixels
 from .classic import (
     KarateClub,

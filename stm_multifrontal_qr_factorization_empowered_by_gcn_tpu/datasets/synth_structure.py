@@ -157,6 +157,7 @@ def synthesize_triplets(
     *,
     seed: int = 0,
 ) -> Triplets:
+    """Family-dispatched synthetic matrix structure matching the published per-graph statistics (geometric / circuit / digraph / banded families chosen by symmetry+skew) — the stand-in for the 408 unavailable SuiteSparse raws."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xC1A55]))
     n = int(n)
     offdiag_target = max(int(nnz) - n, 0)

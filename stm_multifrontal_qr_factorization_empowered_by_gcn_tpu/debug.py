@@ -24,10 +24,12 @@ __debug_flag__ = {"enabled": False}
 
 
 def is_debug_enabled() -> bool:
+    """True while a ``debug()`` context is active (reference ``torch_geometric/debug.py``)."""
     return __debug_flag__["enabled"]
 
 
 def set_debug(on: bool) -> None:
+    """Globally enable/disable debug mode outside a context manager."""
     __debug_flag__["enabled"] = on
 
 

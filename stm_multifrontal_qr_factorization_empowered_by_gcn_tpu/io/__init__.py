@@ -1,3 +1,7 @@
+"""Readers (mtx/planetoid/tu/npz/off/obj/ply/sdf/smiles) and the GCN
+feature generator bit-matched to the reference C code
+(``SparseCore_read_write.c:1040-1190``).
+"""
 from .mtx import read_mtx, to_csr, Triplets
 from .features import (
     compute_features, features_from_mtx, node_feature_table, edge_table,

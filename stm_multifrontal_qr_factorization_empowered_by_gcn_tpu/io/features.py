@@ -47,6 +47,7 @@ class GraphFeatures(NamedTuple):
 
 
 def compute_features(t: Triplets) -> GraphFeatures:
+    """Per-node out/in degree + elimination fill estimate and the 10 global stats, bit-matched to the C generator (reference ``SparseCore_read_write.c:1040-1190``)."""
     nrow, ncol = t.nrow, t.ncol
     rows, cols, vals = t.rows, t.cols, t.vals
     nnz = rows.shape[0]
@@ -99,6 +100,7 @@ def compute_features(t: Triplets) -> GraphFeatures:
 
 
 def features_from_mtx(path: str) -> GraphFeatures:
+    """Read a MatrixMarket file and compute its GCN input features (the ``-Dwrite_graph`` flow of reference ``qrtest.c``)."""
     return compute_features(read_mtx(path))
 
 
@@ -128,6 +130,7 @@ def edge_table(gf: GraphFeatures, graph_id: int) -> np.ndarray:
 
 
 def extinfo_row(gf: GraphFeatures, graph_id: int) -> np.ndarray:
+    """The 10-value global-feature row in ``QR_extinfo.txt`` order (reference ``SparseCore_read_write.c:1180-1183``)."""
     return np.concatenate([[graph_id], gf.extinfo])
 
 

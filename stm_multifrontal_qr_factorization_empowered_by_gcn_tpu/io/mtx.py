@@ -44,6 +44,7 @@ def read_mtx(path: str, *, expand_symmetric: bool = True) -> Triplets:
 
 
 def to_csr(t: Triplets) -> sp.csr_matrix:
+    """Triplets -> scipy CSR (duplicates summed, the MatrixMarket convention)."""
     return sp.csr_matrix(
         (t.vals, (t.rows, t.cols)), shape=(t.nrow, t.ncol)
     )

@@ -1,3 +1,6 @@
+"""All 37 reference convolution layers (``torch_geometric/nn/conv/``),
+each a flax module over the functional propagate core.
+"""
 from .agnn_pna import AGNNConv, PNAConv
 from .cheb_conv import ChebConv
 from .edge_conv import (

@@ -1,3 +1,6 @@
+"""Dense (padded-adjacency) layer variants + diff/mincut pooling
+(``torch_geometric/nn/dense/``) — the natively TPU-shaped path.
+"""
 from .layers import (
     DenseGCNConv,
     DenseGINConv,

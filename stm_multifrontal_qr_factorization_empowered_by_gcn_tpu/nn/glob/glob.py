@@ -34,6 +34,7 @@ def global_add_pool(
     num_graphs: Optional[int] = None,
     node_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """Per-graph sum of node features over the ``batch`` vector (reference ``nn/glob/glob.py:global_add_pool``)."""
     ids, num_graphs, node_mask = _resolve(graph_or_ids, num_graphs, node_mask)
     return segment_sum(x, ids, num_graphs, mask=node_mask, indices_are_sorted=True)
 
@@ -45,6 +46,7 @@ def global_mean_pool(
     num_graphs: Optional[int] = None,
     node_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """Per-graph mean of node features (mask-aware denominators)."""
     ids, num_graphs, node_mask = _resolve(graph_or_ids, num_graphs, node_mask)
     return segment_mean(x, ids, num_graphs, mask=node_mask, indices_are_sorted=True)
 
@@ -56,6 +58,7 @@ def global_max_pool(
     num_graphs: Optional[int] = None,
     node_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """Per-graph max of node features (masked slots = -inf identity)."""
     ids, num_graphs, node_mask = _resolve(graph_or_ids, num_graphs, node_mask)
     return segment_max(x, ids, num_graphs, mask=node_mask, indices_are_sorted=True)
 
@@ -67,5 +70,6 @@ def global_min_pool(
     num_graphs: Optional[int] = None,
     node_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """Per-graph min of node features (masked slots = +inf identity)."""
     ids, num_graphs, node_mask = _resolve(graph_or_ids, num_graphs, node_mask)
     return segment_min(x, ids, num_graphs, mask=node_mask, indices_are_sorted=True)

@@ -1,3 +1,7 @@
+"""Model zoo: autoencoders, DGI, JK, Node2Vec/MetaPath2Vec, GraphUNet,
+SchNet, DimeNet, TGN, SignedGCN, explainers, label prop
+(``torch_geometric/nn/models/``).
+"""
 from .autoencoder import (
     GAE,
     VGAE,

@@ -69,6 +69,7 @@ class DeepGraphInfomax(nn.Module):
 
 
 def dgi_loss(pos_z, neg_z, summary, w):
+    """Deep-Graph-Infomax BCE loss over positive/corrupted summaries (reference ``nn/models/deep_graph_infomax.py``)."""
     eps = 1e-15
     pos = jax.nn.sigmoid(pos_z @ w @ summary)
     neg = jax.nn.sigmoid(neg_z @ w @ summary)

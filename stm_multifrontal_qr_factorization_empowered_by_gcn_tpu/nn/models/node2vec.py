@@ -27,6 +27,7 @@ class NeighborTable(NamedTuple):
 def build_neighbor_table(
     senders: np.ndarray, receivers: np.ndarray, num_nodes: int, width: int = 32
 ) -> NeighborTable:
+    """Padded neighbor table for on-device random walks (degree-bucketed rows; replaces the reference's CPU ``torch_cluster.random_walk``)."""
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     order = np.argsort(senders, kind="stable")

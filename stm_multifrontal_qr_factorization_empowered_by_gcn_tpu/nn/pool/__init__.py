@@ -1,3 +1,6 @@
+"""Hierarchical pooling: TopK/SAG/ASAP/Edge pooling, graclus, voxel grid,
+fps/radius/knn/nearest (``torch_geometric/nn/pool/``).
+"""
 from .asap import ASAPooling, ASAPOutput
 from .coarsen import (
     avg_pool, avg_pool_neighbor_x, avg_pool_x, graclus_pool, greedy_matching,

@@ -38,6 +38,7 @@ def topk_pool(
     out_edges: Optional[int] = None,
     multiplier_fn=jnp.tanh,
 ) -> TopKOutput:
+    """Static-budget per-graph top-k node selection over padded scores; returns the keep mask/indices (the reference's dynamic ``topk`` at ``nn/pool/topk_pool.py:11-53`` restated with fixed shapes for jit)."""
     n_pad = g.num_nodes
     e_pad = g.num_edges
     out_nodes = n_pad if out_nodes is None else out_nodes

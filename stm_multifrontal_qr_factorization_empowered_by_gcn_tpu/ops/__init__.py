@@ -1,3 +1,7 @@
+"""Compute kernels: segment reductions, ELL/BSR SpMM with execution plans,
+SDDMM, sparse softmax — the torch-scatter/torch-sparse replacement,
+Pallas-accelerated on TPU.
+"""
 from .ell import (
     EllAttn,
     EllGraph,

@@ -211,10 +211,12 @@ def _combine(part: jnp.ndarray, ell: EllGraph, aggr: str) -> jnp.ndarray:
 
 
 def spmm_ell_sum(x: jnp.ndarray, ell: EllGraph) -> jnp.ndarray:
+    """``out[i] = sum_j w_ij x_j`` over the ELL structure (gather + virtual-row combine; no scatter)."""
     return _combine(_ell_gather_sum(x, ell), ell, "add")
 
 
 def spmm_ell_mean(x: jnp.ndarray, ell: EllGraph) -> jnp.ndarray:
+    """Per-receiver mean over the ELL structure (nonzero-weight slots counted)."""
     total = spmm_ell_sum(x, ell)
     cnt = _combine(
         jnp.sum((ell.weights != 0).astype(x.dtype), axis=0)[:, None],
@@ -224,6 +226,7 @@ def spmm_ell_mean(x: jnp.ndarray, ell: EllGraph) -> jnp.ndarray:
 
 
 def spmm_ell_max(x: jnp.ndarray, ell: EllGraph) -> jnp.ndarray:
+    """Per-receiver max over the ELL structure; empty receivers yield 0."""
     neg = jnp.array(-jnp.inf, x.dtype)
     part = None
     for k in range(ell.width):  # column-slice gathers (see _ell_gather_sum)

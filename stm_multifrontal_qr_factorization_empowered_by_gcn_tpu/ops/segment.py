@@ -38,6 +38,7 @@ def segment_sum(
     mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
+    """Masked ``sum`` of ``data`` rows grouped by ``segment_ids`` (the scatter-add of reference ``torch_scatter.scatter(..., reduce='add')``)."""
     data = _masked(data, mask, 0)
     return jax.ops.segment_sum(
         data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
@@ -70,6 +71,7 @@ def segment_min(
     mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
+    """Masked per-segment ``min``; empty segments yield 0 (matching the reference's scatter-min fill convention)."""
     pos = _pos_identity(data.dtype)
     data = _masked(data, mask, pos)
     out = jax.ops.segment_min(
@@ -86,6 +88,7 @@ def segment_mean(
     mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
+    """Masked per-segment ``mean`` with safe denominators (reference ``torch_scatter.scatter(..., reduce='mean')``)."""
     total = segment_sum(
         data, segment_ids, num_segments, mask=mask, indices_are_sorted=indices_are_sorted
     )
@@ -138,6 +141,7 @@ def segment_count(
     mask: Optional[jnp.ndarray] = None,
     dtype=jnp.int32,
 ) -> jnp.ndarray:
+    """Number of (unmasked) rows per segment."""
     ones = jnp.ones(segment_ids.shape[0], dtype=dtype)
     if mask is not None:
         ones = jnp.where(mask, ones, 0)

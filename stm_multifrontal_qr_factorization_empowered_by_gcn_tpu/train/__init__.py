@@ -1,3 +1,6 @@
+"""Training loops (host epoch loop + whole-run on-device ``lax.scan``),
+atomic msgpack checkpointing with optimizer state, EMA.
+"""
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .scan_trainer import (
     FitResult,

@@ -33,6 +33,7 @@ def load_checkpoint(path: str, template: Any) -> Any:
 
 
 def latest_checkpoint(ckpt_dir: str, prefix: str = "") -> Optional[str]:
+    """Path of the newest checkpoint under ``ckpt_dir`` matching ``prefix``, or None."""
     if not osp.isdir(ckpt_dir):
         return None
     cands = [

@@ -23,6 +23,7 @@ from ..models.reorder_classifier import masked_accuracy, masked_nll_loss
 
 
 class Trainer:
+    """Reference-shaped host epoch loop (Adam + NLL, eval cadence, checkpointing) over jitted train/eval steps — the ``graphclass.py:104-200`` flow as a reusable class."""
     def __init__(
         self,
         model,

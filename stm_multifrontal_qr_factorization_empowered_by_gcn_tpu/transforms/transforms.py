@@ -79,6 +79,7 @@ class AddSelfLoops:
 
 
 class RemoveSelfLoops:
+    """Transform dropping ``i -> i`` edges (reference ``transforms/remove_self_loops.py``)."""
     def __call__(self, g: Graph) -> Graph:
         s, r = np.asarray(g.senders), np.asarray(g.receivers)
         keep = s != r
@@ -118,6 +119,7 @@ class ToUndirected:
 
 
 class Coalesce:
+    """Transform merging duplicate edges (sum/mean/max attrs) in receiver-major order."""
     def __call__(self, g: Graph) -> Graph:
         w = None if g.edges is None else np.asarray(g.edges)
         return _coalesce(g, np.asarray(g.senders), np.asarray(g.receivers), w, "add")
@@ -210,6 +212,7 @@ class KNNGraph:
 
 
 class RadiusGraph:
+    """Transform connecting points within ``r`` (reference ``transforms/radius_graph.py``)."""
     def __init__(self, r: float, loop: bool = False):
         self.r = r
         self.loop = loop

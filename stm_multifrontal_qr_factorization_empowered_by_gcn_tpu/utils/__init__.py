@@ -1,3 +1,7 @@
+"""Graph utilities: degree, softmax, self-loops, undirected, subgraph,
+dense batching, negative sampling, random graphs, metrics
+(``torch_geometric/utils/``).
+"""
 from .degree import degree
 from .loop import (
     add_self_loops, add_remaining_self_loops, remove_self_loops,

@@ -14,6 +14,7 @@ import numpy as np
 def remove_self_loops(
     edge_index: np.ndarray, edge_attr: Optional[np.ndarray] = None
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Drop ``i -> i`` edges (and their attrs) — reference ``utils/loop.py:remove_self_loops``."""
     edge_index = np.asarray(edge_index)
     keep = edge_index[0] != edge_index[1]
     edge_index = edge_index[:, keep]
@@ -29,6 +30,7 @@ def add_self_loops(
     fill_value: float = 1.0,
     num_nodes: Optional[int] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Append one ``i -> i`` edge per node with ``fill_value`` weight — reference ``utils/loop.py:add_self_loops``."""
     edge_index = np.asarray(edge_index)
     n = int(num_nodes) if num_nodes is not None else int(edge_index.max()) + 1
     loops = np.arange(n, dtype=edge_index.dtype)
@@ -64,6 +66,7 @@ def add_remaining_self_loops(
 
 
 def contains_self_loops(edge_index: np.ndarray) -> bool:
+    """True if any edge has ``sender == receiver``."""
     edge_index = np.asarray(edge_index)
     return bool(np.any(edge_index[0] == edge_index[1]))
 

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 
 def accuracy(pred: jnp.ndarray, target: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """Fraction of correct predictions, optionally masked (reference ``utils/metric.py:accuracy``)."""
     correct = (pred == target).astype(jnp.float32)
     if mask is not None:
         return jnp.sum(correct * mask) / jnp.maximum(jnp.sum(mask), 1)
@@ -13,42 +14,49 @@ def accuracy(pred: jnp.ndarray, target: jnp.ndarray, mask=None) -> jnp.ndarray:
 
 
 def true_positive(pred, target, num_classes):
+    """Per-class count of ``pred == c`` and ``target == c``."""
     return jnp.array(
         [jnp.sum((pred == c) & (target == c)) for c in range(num_classes)]
     )
 
 
 def true_negative(pred, target, num_classes):
+    """Per-class count of ``pred != c`` and ``target != c``."""
     return jnp.array(
         [jnp.sum((pred != c) & (target != c)) for c in range(num_classes)]
     )
 
 
 def false_positive(pred, target, num_classes):
+    """Per-class count of ``pred == c`` but ``target != c``."""
     return jnp.array(
         [jnp.sum((pred == c) & (target != c)) for c in range(num_classes)]
     )
 
 
 def false_negative(pred, target, num_classes):
+    """Per-class count of ``pred != c`` but ``target == c``."""
     return jnp.array(
         [jnp.sum((pred != c) & (target == c)) for c in range(num_classes)]
     )
 
 
 def precision(pred, target, num_classes):
+    """Per-class precision ``tp / (tp + fp)`` (reference ``utils/metric.py:precision``)."""
     tp = true_positive(pred, target, num_classes).astype(jnp.float32)
     fp = false_positive(pred, target, num_classes).astype(jnp.float32)
     return tp / jnp.maximum(tp + fp, 1)
 
 
 def recall(pred, target, num_classes):
+    """Per-class recall ``tp / (tp + fn)`` (reference ``utils/metric.py:recall``)."""
     tp = true_positive(pred, target, num_classes).astype(jnp.float32)
     fn = false_negative(pred, target, num_classes).astype(jnp.float32)
     return tp / jnp.maximum(tp + fn, 1)
 
 
 def f1_score(pred, target, num_classes):
+    """Per-class F1 ``2pr / (p + r)`` (reference ``utils/metric.py:f1_score``)."""
     p = precision(pred, target, num_classes)
     r = recall(pred, target, num_classes)
     return 2 * p * r / jnp.maximum(p + r, 1e-12)

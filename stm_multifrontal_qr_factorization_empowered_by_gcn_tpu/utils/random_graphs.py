@@ -96,6 +96,7 @@ def barabasi_albert_graph(
 def stochastic_blockmodel_graph(
     block_sizes, edge_probs, *, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample an SBM graph: edge ``(i, j)`` appears with prob ``edge_probs[block(i)][block(j)]`` — reference ``utils/random.py:stochastic_blockmodel_graph``."""
     rng = np.random.default_rng(seed)
     sizes = np.asarray(block_sizes)
     starts = np.concatenate([[0], np.cumsum(sizes)])

@@ -18,6 +18,7 @@ import numpy as np
 
 def tree_decomposition(senders, receivers, num_nodes: int,
                        return_vocab: bool = False):
+    """Junction-tree decomposition of a molecular graph (rings + bonds -> cliques, min spanning tree over clique overlaps) — reference ``utils/tree_decomposition.py``."""
     import networkx as nx
     import scipy.sparse as sp
     from scipy.sparse.csgraph import minimum_spanning_tree

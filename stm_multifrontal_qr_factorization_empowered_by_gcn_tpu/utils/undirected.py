@@ -51,6 +51,7 @@ def to_undirected(
     num_nodes: Optional[int] = None,
     reduce: str = "add",
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Symmetrize: add each edge's reverse, then coalesce duplicates with ``reduce`` — reference ``utils/undirected.py:to_undirected``."""
     edge_index = np.asarray(edge_index)
     both = np.concatenate([edge_index, edge_index[::-1]], axis=1)
     attr = None if edge_attr is None else np.concatenate([edge_attr, edge_attr], axis=0)
@@ -58,6 +59,7 @@ def to_undirected(
 
 
 def is_undirected(edge_index: np.ndarray, *, num_nodes: Optional[int] = None) -> bool:
+    """True if the edge set equals its own transpose."""
     edge_index = np.asarray(edge_index)
     n = int(num_nodes) if num_nodes is not None else int(edge_index.max()) + 1
     k1 = set((edge_index[0].astype(np.int64) * n + edge_index[1]).tolist())
