@@ -145,6 +145,10 @@ def main():
     try:
         from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.datasets import Planetoid
 
+        # fail fast when the raw files aren't on disk — under blocked egress
+        # each download attempt would otherwise hang out its socket timeout
+        if not any(os.scandir("data/Planetoid/Cora/raw")):
+            raise FileNotFoundError("data/Planetoid/Cora/raw is empty")
         ds = Planetoid("data/Planetoid/Cora", "cora")
         g, masks = ds.get(0), ds.split_masks
         src = "Cora"

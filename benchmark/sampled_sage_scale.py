@@ -46,6 +46,14 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--fanouts", type=int, nargs="+", default=[25, 10])
+    ap.add_argument("--skip-sampled", action="store_true",
+                    help="skip the sampled-training phase")
+    ap.add_argument("--infer-iters", type=int, default=20,
+                    help="timed iterations of full-graph layer-wise "
+                         "inference (plan on/off); 0 disables")
+    ap.add_argument("--fullbatch-epochs", type=int, default=20,
+                    help="full-batch training epochs timed plan on/off; "
+                         "0 disables")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +98,21 @@ def main():
                     h = nn.relu(h)
             return jax.nn.log_softmax(h)
 
+    class FullSAGE(nn.Module):
+        """Full-graph twin of SAGE (same param names ⇒ trained params
+        transfer) — the reference flow's layer-wise inference
+        (``distributed_sampling.py:36-58``); ``plan`` engages the
+        structure-analyzed hybrid SpMM (``ops/plan.build_mean_plan``)."""
+
+        @nn.compact
+        def __call__(self, h, s, r, plan=None):
+            for i, d in enumerate(dims):
+                h = SAGEConv((h.shape[-1], h.shape[-1]), d,
+                             name=f"conv{i}")(h, s, r, plan=plan)
+                if i < len(dims) - 1:
+                    h = nn.relu(h)
+            return jax.nn.log_softmax(h)
+
     model = SAGE()
     tx = optax.adam(3e-3)
 
@@ -121,26 +144,107 @@ def main():
           f"fanouts={args.fanouts} batch={args.batch} "
           f"batches/epoch={len(loader)} table_build={t_table:.2f}s")
 
-    sampled_edges = 0
-    t0 = time.time()
-    for epoch in range(args.epochs):
-        te = time.time()
-        last = None
-        for seeds, blocks in loader:
-            params, opt, last = step(
-                params, opt, xj[blocks[0].src_ids], blocks, yj[seeds])
-            for blk in blocks:
-                sampled_edges += int(blk.senders.shape[0])
-        jax.block_until_ready(last)
-        print(f"epoch {epoch}: {time.time() - te:.3f}s "
-              f"loss={float(last):.4f}")
-    wall = time.time() - t0
+    if not args.skip_sampled:
+        sampled_edges = 0
+        t0 = time.time()
+        for epoch in range(args.epochs):
+            te = time.time()
+            last = None
+            for seeds, blocks in loader:
+                params, opt, last = step(
+                    params, opt, xj[blocks[0].src_ids], blocks, yj[seeds])
+                for blk in blocks:
+                    sampled_edges += int(blk.senders.shape[0])
+            jax.block_until_ready(last)
+            print(f"epoch {epoch}: {time.time() - te:.3f}s "
+                  f"loss={float(last):.4f}")
+        wall = time.time() - t0
 
-    base_rate = args.epochs * args.edges / wall
-    samp_rate = sampled_edges / wall
-    print(f"epoch_time={wall / args.epochs:.3f}s "
-          f"base_edges_per_s={base_rate / 1e6:.1f}M "
-          f"sampled_edges_per_s={samp_rate / 1e6:.1f}M")
+        base_rate = args.epochs * args.edges / wall
+        samp_rate = sampled_edges / wall
+        print(f"epoch_time={wall / args.epochs:.3f}s "
+              f"base_edges_per_s={base_rate / 1e6:.1f}M "
+              f"sampled_edges_per_s={samp_rate / 1e6:.1f}M")
+
+    if args.infer_iters <= 0 and args.fullbatch_epochs <= 0:
+        return
+
+    # ------------------------------------------------------------------
+    # Hybrid-SpMM-plan on/off: the 0.569-roofline power-law kernel result
+    # demonstrated inside the training loop it was built for (full-graph
+    # layer-wise inference + full-batch training at ogbn-arxiv scale).
+    # ------------------------------------------------------------------
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.plan import (
+        build_mean_plan,
+    )
+
+    full = FullSAGE()
+    sj, rj = jnp.asarray(send), jnp.asarray(recv)
+
+    t0 = time.time()
+    plan = build_mean_plan(send, recv, n)
+    t_plan = time.time() - t0
+    print(f"\nplan: method={plan.method} relabel={'on' if plan.perm is not None else 'off'} "
+          f"build={t_plan:.2f}s (host-side, one-time per structure)")
+
+    fwd_off = jax.jit(lambda p, h: full.apply(p, h, sj, rj))
+    fwd_on = jax.jit(lambda p, h, pl: full.apply(p, h, sj, rj, plan=pl))
+
+    # correctness: plan path ≡ segment path on the trained params
+    o_off = fwd_off(params, xj)
+    o_on = fwd_on(params, xj, plan)
+    err = float(jnp.max(jnp.abs(o_off - o_on)))
+    print(f"plan-vs-segment max |Δlogp| = {err:.2e}")
+    assert err < 1e-3, "plan path diverged from segment path"
+
+    def timed(fn, iters, *a):
+        jax.block_until_ready(fn(*a))
+        t0 = time.time()
+        out = None
+        for _ in range(iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / iters
+
+    layers_e = len(dims) * args.edges  # SpMM edges touched per pass
+    if args.infer_iters > 0:
+        t_off = timed(fwd_off, args.infer_iters, params, xj)
+        t_on = timed(fwd_on, args.infer_iters, params, xj, plan)
+        print(f"full-graph inference ({len(dims)} layers): "
+              f"plan-off {t_off*1e3:.2f}ms ({layers_e/t_off/1e9:.2f}B e/s)  "
+              f"plan-on {t_on*1e3:.2f}ms ({layers_e/t_on/1e9:.2f}B e/s)  "
+              f"speedup {t_off/t_on:.2f}x")
+
+    if args.fullbatch_epochs > 0:
+        tm = jnp.zeros(n).at[jnp.asarray(train_idx)].set(1.0)
+
+        def make_train(plan_arg):
+            def loss(p, h):
+                logp = (fwd_on(p, h, plan_arg) if plan_arg is not None
+                        else fwd_off(p, h))
+                nll = -jnp.take_along_axis(logp, yj[:, None], 1)[:, 0]
+                return jnp.sum(nll * tm) / jnp.sum(tm)
+
+            @jax.jit
+            def epoch(p, o, h):
+                l, g = jax.value_and_grad(loss)(p, h)
+                u, o = tx.update(g, o, p)
+                return optax.apply_updates(p, u), o, l
+            return epoch
+
+        for label, pl in (("off", None), ("on", plan)):
+            ep = make_train(pl)
+            p, o = params, tx.init(params)
+            p, o, l = ep(p, o, xj)  # compile
+            jax.block_until_ready(l)
+            t0 = time.time()
+            for _ in range(args.fullbatch_epochs):
+                p, o, l = ep(p, o, xj)
+            jax.block_until_ready(l)
+            t = (time.time() - t0) / args.fullbatch_epochs
+            # fwd + 2 SpMMs in bwd (dx via transpose) per layer ≈ 2x edges
+            print(f"full-batch train plan-{label}: {t*1e3:.2f}ms/epoch "
+                  f"({2*layers_e/t/1e9:.2f}B e/s fwd+bwd) loss={float(l):.4f}")
 
 
 if __name__ == "__main__":
