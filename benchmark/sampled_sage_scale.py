@@ -187,8 +187,13 @@ def main():
     print(f"\nplan: method={plan.method} relabel={'on' if plan.perm is not None else 'off'} "
           f"build={t_plan:.2f}s (host-side, one-time per structure)")
 
-    fwd_off = jax.jit(lambda p, h: full.apply(p, h, sj, rj))
-    fwd_on = jax.jit(lambda p, h, pl: full.apply(p, h, sj, rj, plan=pl))
+    # senders/receivers are jit ARGUMENTS — closed-over jnp constants of this
+    # size get inlined into the HLO and send XLA constant folding into
+    # multi-minute compiles (measured: >15 min at 1.17M edges)
+    _fwd_off = jax.jit(lambda p, h, s, r: full.apply(p, h, s, r))
+    _fwd_on = jax.jit(lambda p, h, s, r, pl: full.apply(p, h, s, r, plan=pl))
+    fwd_off = lambda p, h: _fwd_off(p, h, sj, rj)
+    fwd_on = lambda p, h, pl: _fwd_on(p, h, sj, rj, pl)
 
     # correctness: plan path ≡ segment path on the trained params
     o_off = fwd_off(params, xj)
@@ -218,28 +223,27 @@ def main():
     if args.fullbatch_epochs > 0:
         tm = jnp.zeros(n).at[jnp.asarray(train_idx)].set(1.0)
 
-        def make_train(plan_arg):
-            def loss(p, h):
-                logp = (fwd_on(p, h, plan_arg) if plan_arg is not None
-                        else fwd_off(p, h))
+        def make_train(with_plan):
+            def loss(p, h, s, r, pl):
+                logp = full.apply(p, h, s, r, plan=pl if with_plan else None)
                 nll = -jnp.take_along_axis(logp, yj[:, None], 1)[:, 0]
                 return jnp.sum(nll * tm) / jnp.sum(tm)
 
             @jax.jit
-            def epoch(p, o, h):
-                l, g = jax.value_and_grad(loss)(p, h)
+            def epoch(p, o, h, s, r, pl):
+                l, g = jax.value_and_grad(loss)(p, h, s, r, pl)
                 u, o = tx.update(g, o, p)
                 return optax.apply_updates(p, u), o, l
             return epoch
 
-        for label, pl in (("off", None), ("on", plan)):
-            ep = make_train(pl)
+        for label, with_plan in (("off", False), ("on", True)):
+            ep = make_train(with_plan)
             p, o = params, tx.init(params)
-            p, o, l = ep(p, o, xj)  # compile
+            p, o, l = ep(p, o, xj, sj, rj, plan)  # compile
             jax.block_until_ready(l)
             t0 = time.time()
             for _ in range(args.fullbatch_epochs):
-                p, o, l = ep(p, o, xj)
+                p, o, l = ep(p, o, xj, sj, rj, plan)
             jax.block_until_ready(l)
             t = (time.time() - t0) / args.fullbatch_epochs
             # fwd + 2 SpMMs in bwd (dx via transpose) per layer ≈ 2x edges
