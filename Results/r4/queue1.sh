@@ -45,3 +45,6 @@ done
 run fullbatch_check 5400 python -u benchmark/fullbatch_plan_check.py
 run bench_current 3600 python -u bench.py
 echo "=== QUEUE DONE $(date +%T) ===" >> $R/queue1.status
+run bsr_ab 3600 python -u benchmark/bsr_ab.py
+run bench_final 3600 python -u bench.py
+echo "=== QUEUE REALLY DONE $(date +%T) ===" >> $R/queue1.status

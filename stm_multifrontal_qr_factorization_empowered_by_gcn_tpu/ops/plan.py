@@ -216,8 +216,28 @@ def _build_ell_pair(s, r, n, w, width):
 def _block_counts(senders, receivers, num_nodes, block_cols=128):
     nbcol = max(-(-num_nodes // block_cols), 1)
     bid = (receivers // 128) * nbcol + senders // block_cols
-    _, inv, counts = np.unique(bid, return_inverse=True, return_counts=True)
-    return counts, inv
+    uniq, inv, counts = np.unique(bid, return_inverse=True, return_counts=True)
+    return counts, inv, uniq, nbcol
+
+
+def _dup_count(sorted_bids: np.ndarray, nbcol: int) -> int:
+    """Consecutive same-x-window steps under ``ops.bsr._window_order``'s
+    greedy within-row ordering (each skipped window is a skipped DMA)."""
+    brow = sorted_bids // nbcol
+    bcol = sorted_bids % nbcol
+    starts = np.concatenate(
+        [[0], np.nonzero(np.diff(brow))[0] + 1, [len(brow)]])
+    dup, prev_last = 0, -1
+    for i in range(len(starts) - 1):
+        seg = bcol[starts[i]:starts[i + 1]]
+        j = int(np.searchsorted(seg, prev_last))
+        shared = j < len(seg) and seg[j] == prev_last
+        dup += shared
+        if shared and len(seg) > 1 and seg[j] == seg[-1]:
+            prev_last = int(seg[-2])
+        else:
+            prev_last = int(seg[-1])
+    return dup
 
 
 def _labeling_cost(senders, receivers, num_nodes, permuted, *,
@@ -235,10 +255,15 @@ def _labeling_cost(senders, receivers, num_nodes, permuted, *,
             if min_edges is None
             else max(min_edges * bc // 128, 1)
         )
-        counts, inv = _block_counts(senders, receivers, num_nodes, bc)
+        counts, inv, uniq, nbcol = _block_counts(
+            senders, receivers, num_nodes, bc)
         dense = counts >= thr
         tail_edges = int((~dense[inv]).sum())
-        cost = int(dense.sum()) * step_ns + tail_edges * _ROW_NS
+        ndense = int(dense.sum())
+        # the within-row window ordering (ops/bsr._window_order) skips the
+        # x-window DMA — roughly half a step's traffic — on dup steps
+        dup = _dup_count(uniq[dense], nbcol) if ndense else 0
+        cost = (ndense - 0.5 * dup) * step_ns + tail_edges * _ROW_NS
         if permuted:
             cost += 2 * num_nodes * _ROW_NS
         if cost < best[0]:
