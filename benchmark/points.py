@@ -87,6 +87,11 @@ def real_modelnet10(points, seed=0):
         import ModelNet
 
     rng = np.random.default_rng(seed)
+    # fail fast when raws are absent — under blocked egress the download
+    # attempt would otherwise hang out its socket timeout
+    if not os.path.isdir("data/ModelNet10/raw") or not any(
+            os.scandir("data/ModelNet10/raw")):
+        raise FileNotFoundError("data/ModelNet10/raw is empty")
     out = []
     for train in (True, False):
         ds = ModelNet("data/ModelNet10", "10", train=train)

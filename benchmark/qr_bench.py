@@ -108,10 +108,10 @@ def main():
 
         x0, _ = sparseqr.least_squares(A, b, F=F, method="seminormal")
         res = relres(x0)
-        if F.rank == n:
-            x1, _ = sparseqr.least_squares(A, b, F=F, method="seminormal",
-                                           refine=2)
-            res = min(res, relres(x1))
+        # refine also applies on the damped rank-deficient path
+        x1, _ = sparseqr.least_squares(A, b, F=F, method="seminormal",
+                                       refine=2)
+        res = min(res, relres(x1))
         print(f"{name:<18}{f'{m}x{n}':<14}{A.nnz:>8}{len(sym.fronts):>7}"
               f"{len(sym.levels):>5}{t_ana:>8.3f}{t_fac*1e3:>10.2f}"
               f"{gfs:>9.1f}{res:>10.1e}")

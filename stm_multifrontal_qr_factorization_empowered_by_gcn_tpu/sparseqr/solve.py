@@ -416,6 +416,7 @@ def _seminormal_solve_once(F: QRFactorization, A64: sp.csc_matrix,
 
 def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
                   refine: int = 0, method: str = "qmult",
+                  damp: Optional[float] = None,
                   **fact_kw) -> Tuple[jnp.ndarray, QRFactorization]:
     """min ‖A x − b‖₂ — the ``qrtest`` solve flow
     (``test/qrtest.c:11-53``: ``QR_qmult(QTX)`` + ``QR_solve(RETX)``).
@@ -425,6 +426,20 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
     RᵀR x = Aᵀb from a Q-less factorization — much lighter in memory, and
     with ``refine ≥ 1`` equally accurate (corrected seminormal equations).
 
+    **Rank deficiency** (``F.rank < n``, incl. numerical deficiency at the
+    working precision): the level-batched MXU path factorizes fronts with
+    *unpivoted* blocked Householder QR, so a dead pivot's R row still
+    carries O(‖A‖) mass to its right and the basic ``x[dead]=0`` backsolve
+    would discard that constraint (unlike the reference's staircase,
+    ``SparseQR_factorize.c:1383-``, which never advances past a dead
+    pivot).  Instead of a data-dependent staircase — hostile to static
+    shapes — the solver switches to the **damped (Tikhonov) augmented
+    system** ``[A; λI] x = [b; 0]`` with ``λ = damp or F.tol``: full column
+    rank by construction, every existing kernel reused, and the solution
+    is the ridge-regularized least-squares answer (residual bias O(λ²/σ²)
+    on the live spectrum).  Pass ``damp=0.0`` to force the raw basic
+    solution.
+
     ``refine`` > 0 adds iterative-refinement passes with the residual
     accumulated in float64 on host: the TPU-native answer to the
     reference's float64 fronts — the f32 MXU factorization is reused as a
@@ -433,6 +448,14 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
     A64 = sp.csc_matrix(A).astype(np.float64)
     if F is None:
         F = factorize(A, keep_q=(method == "qmult"), **fact_kw)
+    if F.rank < F.sym.n and (damp is None or damp > 0):
+        lam = float(F.tol if damp is None else damp)
+        m, n = A64.shape
+        A_aug = sp.vstack([A64, lam * sp.eye(n, format="csc")]).tocsc()
+        F = factorize(A_aug, keep_q=(method == "qmult"), **fact_kw)
+        b64 = np.asarray(b, np.float64)
+        bb = np.concatenate([b64, np.zeros((n,) + b64.shape[1:])], axis=0)
+        A64, b = A_aug, bb.astype(np.asarray(b).dtype)
     if method == "seminormal":
         x = _seminormal_solve_once(F, A64, b)
     elif method == "qmult":

@@ -237,3 +237,38 @@ def test_refactorize_new_values_cached_symbolic():
     # and the two Rs genuinely differ (no stale-value reuse)
     assert not np.allclose(np.abs(F1.R_csr().toarray()),
                            np.abs(F2.R_csr().toarray()), atol=1e-3)
+
+
+def test_heavy_rank_deficiency_damped_solve():
+    """Half the columns dependent (the dwt_992 pattern-matrix regime):
+    the unpivoted MXU front QR leaves O(|A|) mass in dead R rows, so
+    least_squares must switch to the damped augmented system [A; lam*I]
+    (see solve.py) instead of the discard-dead-rows basic solve, which
+    produced residuals >1e9 on consistent systems."""
+    rng = np.random.default_rng(11)
+    B = _random_sparse(150, 50, 0.12, 31)
+    A = sp.hstack([B, B]).tocsc()  # 100 cols, rank <= 50
+    x_true = rng.normal(size=100)
+    b = (A @ x_true).astype(np.float32)  # consistent: b in range(A)
+    F = factorize(A, keep_q=True)
+    assert F.rank <= 50
+    bn = np.linalg.norm(b)
+    for method in ("seminormal", "qmult"):
+        x, _ = least_squares(A, b, F=F, method=method)
+        r = np.linalg.norm(A @ np.asarray(x, np.float64) - b) / bn
+        assert r < 1e-3, (method, r)
+    x, _ = least_squares(A, b, F=F, method="seminormal", refine=2)
+    r = np.linalg.norm(A @ np.asarray(x, np.float64) - b) / bn
+    assert r < 1e-6, r
+
+
+def test_damp_zero_keeps_basic_solution():
+    # damp=0.0 forces the raw basic backsolve (finite, but no damping)
+    A = _random_sparse(60, 30, 0.15, 7).toarray()
+    A[:, 10] = A[:, 4]
+    A = sp.csc_matrix(A)
+    b = np.random.default_rng(5).normal(size=60).astype(np.float32)
+    F = factorize(A, keep_q=True)
+    x, F2 = least_squares(A, b, F=F, damp=0.0)
+    assert np.isfinite(np.asarray(x)).all()
+    assert F2 is F  # no augmented refactorization
