@@ -48,3 +48,5 @@ echo "=== QUEUE DONE $(date +%T) ===" >> $R/queue1.status
 run bsr_ab 3600 python -u benchmark/bsr_ab.py
 run bench_final 3600 python -u bench.py
 echo "=== QUEUE REALLY DONE $(date +%T) ===" >> $R/queue1.status
+run qr_bench_best_fixed 5400 python -u benchmark/qr_bench.py --ordering best
+echo "=== QUEUE FULLY DONE $(date +%T) ===" >> $R/queue1.status

@@ -462,6 +462,18 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
         x = _qr_solve_once(F, b)
     else:
         raise ValueError("method must be 'qmult' or 'seminormal'")
+    if not np.isfinite(np.asarray(x)).all() and (damp is None or damp > 0):
+        # full-rank by the tolerance test, but diagonals barely above it
+        # overflowed the working precision — same remedy as deficiency
+        lam = float(F.tol if damp is None else damp)
+        m, n = A64.shape
+        A_aug = sp.vstack([A64, lam * sp.eye(n, format="csc")]).tocsc()
+        F = factorize(A_aug, keep_q=(method == "qmult"), **fact_kw)
+        b64 = np.asarray(b, np.float64)
+        bb = np.concatenate([b64, np.zeros((n,) + b64.shape[1:])], axis=0)
+        A64, b = A_aug, bb.astype(np.asarray(b).dtype)
+        x = (_seminormal_solve_once(F, A64, b) if method == "seminormal"
+             else _qr_solve_once(F, b))
     if refine:
         b64 = np.asarray(b, np.float64)
         for _ in range(refine):
