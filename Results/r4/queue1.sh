@@ -50,3 +50,6 @@ run bench_final 3600 python -u bench.py
 echo "=== QUEUE REALLY DONE $(date +%T) ===" >> $R/queue1.status
 run qr_bench_best_fixed 5400 python -u benchmark/qr_bench.py --ordering best
 echo "=== QUEUE FULLY DONE $(date +%T) ===" >> $R/queue1.status
+run apples_v3_redo 5400 python -u scripts/graphclass.py --mode scan-mini --ckpt-dir models_ckpt/ref408_v3
+run cross_domain_v3 3600 python -u scripts/cross_domain_eval.py
+echo "=== QUEUE V3 DONE $(date +%T) ===" >> $R/queue1.status

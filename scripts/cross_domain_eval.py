@@ -104,9 +104,19 @@ def main():
     c2, t2 = evaluate(ref_model, ref_params, real_test)
     rows.append(("reference ep5000 (ported, real-trained)", c1, t1, c2, t2))
 
+    def _first(*paths):
+        for p in paths:
+            if os.path.exists(p):
+                return p
+        return paths[-1]
+
     for name, ckpt, log_ex in [
-        ("ours default (synth-trained)", "models_ckpt/ref408/graphmodel_best.msgpack", True),
-        ("ours strict-parity (synth-trained)", "models_ckpt/ref408_strict/graphmodel_best.msgpack", False),
+        ("ours default (synth-trained)",
+         _first("models_ckpt/ref408_v3/graphmodel_best.msgpack",
+                "models_ckpt/ref408/graphmodel_best.msgpack"), True),
+        ("ours strict-parity (synth-trained)",
+         _first("models_ckpt/ref408_v3_strict/graphmodel_best.msgpack",
+                "models_ckpt/ref408_strict/graphmodel_best.msgpack"), False),
     ]:
         if not os.path.exists(ckpt):
             print(f"skip {name}: {ckpt} missing")
