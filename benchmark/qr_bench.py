@@ -64,8 +64,7 @@ def main():
         m, n = A.shape
         t0 = time.time()
         if args.ordering == "best":
-            syms = [sparseqr.analyze(A, k) for k in range(4)]
-            sym = min(syms, key=lambda s: s.flops)
+            sym = sparseqr.analyze_best(A)
         else:
             sym = sparseqr.analyze(A, int(args.ordering))
         t_ana = time.time() - t0

@@ -88,6 +88,11 @@ def _load():
         ctypes.c_int32, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int32), pp32, pp32, pp32, pp64, pp32, pp64,
     ]
+    lib.stm_ata_graph.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, i32p, i32p,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64), pp32, pp32,
+    ]
+    lib.stm_ata_graph.restype = ctypes.c_int
     lib.stm_free.argtypes = [ctypes.c_void_p]
     lib.stm_free.restype = None
     for f in (lib.stm_order, lib.stm_symbolic_fill, lib.stm_col_order,
@@ -161,6 +166,31 @@ def col_order_fast(
     return out
 
 
+def ata_graph(rows, cols, nrow: int, ncol: int,
+              row_cut: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Deduped symmetric AᵀA edge list from A's COO pattern (every row a
+    clique over its columns; rows wider than ``row_cut`` skipped —
+    ``<=0`` uses the labeler's ``max(16, 10*sqrt(ncol))`` cap).  The
+    C++ twin of ``sparseqr.symbolic._ata_graph``; the hot host-side
+    step feeding the AMD/ND orderings."""
+    lib = _load()
+    r, c = _as_i32(rows), _as_i32(cols)
+    out_nnz = ctypes.c_int64()
+    p_s = ctypes.POINTER(ctypes.c_int32)()
+    p_d = ctypes.POINTER(ctypes.c_int32)()
+    rc = lib.stm_ata_graph(
+        nrow, ncol, len(r), _ptr(r), _ptr(c), row_cut,
+        ctypes.byref(out_nnz), ctypes.byref(p_s), ctypes.byref(p_d))
+    if rc != 0:
+        raise ValueError("stm_ata_graph failed")
+    k = int(out_nnz.value)
+    s = np.ctypeslib.as_array(p_s, shape=(max(k, 1),))[:k].copy()
+    d = np.ctypeslib.as_array(p_d, shape=(max(k, 1),))[:k].copy()
+    lib.stm_free(ctypes.cast(p_s, ctypes.c_void_p))
+    lib.stm_free(ctypes.cast(p_d, ctypes.c_void_p))
+    return s, d
+
+
 def symbolic_fill(senders, receivers, num_nodes: int, perm) -> Tuple[int, int]:
     """(lnz, flop proxy) of Cholesky on P A Pᵀ for elimination order ``perm``."""
     s, r, p = _as_i32(senders), _as_i32(receivers), _as_i32(perm)
@@ -221,31 +251,7 @@ def label_matrix(
     """
     rows, cols = _as_i32(rows), _as_i32(cols)
     # AᵀA pattern (dense-row capped) as the graph being ordered
-    import collections
-
-    rdeg = np.bincount(rows, minlength=nrow)
-    cap = max(16, int(10 * np.sqrt(max(ncol, 1))))
-    keep = rdeg[rows] <= cap
-    rr, cc = rows[keep], cols[keep]
-    order_r = np.argsort(rr, kind="stable")
-    rr, cc = rr[order_r], cc[order_r]
-    s_list, d_list = [], []
-    start = 0
-    ptr = np.concatenate([[0], np.cumsum(np.bincount(rr, minlength=nrow))])
-    for i in range(nrow):
-        row_cols = cc[ptr[i]:ptr[i + 1]]
-        if len(row_cols) > 1:
-            a = np.repeat(row_cols, len(row_cols))
-            b = np.tile(row_cols, len(row_cols))
-            m = a != b
-            s_list.append(a[m])
-            d_list.append(b[m])
-    if s_list:
-        s = np.concatenate(s_list)
-        d = np.concatenate(d_list)
-    else:
-        s = np.zeros(0, np.int32)
-        d = np.zeros(0, np.int32)
+    s, d = ata_graph(rows, cols, nrow, ncol)
 
     fills = {}
     perms = {

@@ -33,6 +33,7 @@ from .symbolic import (
     ORDER_GIVEN,
     SymbolicQR,
     analyze,
+    analyze_best,
     column_etree,
     postorder,
 )
@@ -47,7 +48,7 @@ from .cholesky import (
 __all__ = [
     "ORDER_AMD", "ORDER_COLAMD", "ORDER_METIS", "ORDER_NESDIS",
     "ORDER_NATURAL", "ORDER_GIVEN",
-    "SymbolicQR", "analyze", "column_etree", "postorder",
+    "SymbolicQR", "analyze", "analyze_best", "column_etree", "postorder",
     "QRFactorization", "factorize", "factorize_numpy",
     "factorize_taskparallel",
     "qmult", "rsolve", "least_squares", "lq_min_norm_solve",

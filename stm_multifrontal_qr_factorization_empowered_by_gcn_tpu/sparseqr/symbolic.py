@@ -144,9 +144,13 @@ class SymbolicQR:
 def _ata_graph(A: sp.csc_matrix) -> Tuple[np.ndarray, np.ndarray]:
     """Symmetric AᵀA edge list (for the AMD/ND orderings), dense rows
     capped the way the labeler caps them (``native.label_matrix``)."""
+    from .. import native
+
     coo = A.tocoo()
-    rows, cols = coo.row.astype(np.int64), coo.col.astype(np.int64)
     m, n = A.shape
+    if native.native_available():
+        return native.ata_graph(coo.row, coo.col, m, n)
+    rows, cols = coo.row.astype(np.int64), coo.col.astype(np.int64)
     rdeg = np.bincount(rows, minlength=m)
     cap = max(16, int(10 * np.sqrt(max(n, 1))))
     keep = rdeg[rows] <= cap
@@ -291,6 +295,32 @@ def analyze(A: sp.spmatrix, ordering: int = ORDER_COLAMD,
         return _finish_symbolic(m, n, q, parent, fronts, col_to_front,
                                 ordering)
     return _analyze_python(m, n, q, parent, S, ordering, nrelax, zrelax)
+
+
+def analyze_best(A: sp.spmatrix, orderings: Tuple[int, ...] = (0, 1, 2, 3),
+                 nrelax: int = 4, zrelax: float = 0.25,
+                 threads: bool = True) -> "SymbolicQR":
+    """Symbolic analysis under each candidate ordering; returns the
+    min-flops winner (the reference's brute-force ``QR_ORDERING_CHOL``
+    mode, ``SparseQR.c:970`` → ``SparseChol_analyze_p2:429-613``).
+
+    The four candidate analyses are independent and ordering-dominated;
+    the native ordering calls release the GIL, so they run concurrently
+    on host threads (the host-side analog of the reference trying
+    ``nmethods`` orderings in one analyze pass)."""
+    A = sp.csc_matrix(A)
+    A.sum_duplicates()
+    if threads and len(orderings) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(orderings)) as ex:
+            syms = list(ex.map(
+                lambda k: analyze(A, k, nrelax=nrelax, zrelax=zrelax),
+                orderings))
+    else:
+        syms = [analyze(A, k, nrelax=nrelax, zrelax=zrelax)
+                for k in orderings]
+    return min(syms, key=lambda s: s.flops)
 
 
 def _analyze_python(m, n, q, parent, S, ordering, nrelax, zrelax):

@@ -179,3 +179,65 @@ def test_order_fast_dense_postponement():
     p = native.order_fast(s, d, n)
     assert sorted(p.tolist()) == list(range(n))
     assert p[-1] == 0
+
+
+def _python_ata_edges(rows, cols, m, n):
+    """The pure-Python `_ata_graph` semantics as an edge SET (dense rows
+    capped at max(16, 10*sqrt(n)); every kept row a clique, no self loops)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    rdeg = np.bincount(rows, minlength=m)
+    cap = max(16, int(10 * np.sqrt(max(n, 1))))
+    edges = set()
+    by_row = {}
+    for r, c in zip(rows.tolist(), cols.tolist()):
+        by_row.setdefault(r, set()).add(c)
+    for r, cs in by_row.items():
+        if rdeg[r] > cap:
+            continue
+        cs = sorted(cs)
+        for a in cs:
+            for b in cs:
+                if a != b:
+                    edges.add((a, b))
+    return edges
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ata_graph_matches_python(seed):
+    rng = np.random.default_rng(seed)
+    m, n, e = 30, 25, 140
+    rows = rng.integers(0, m, e).astype(np.int32)
+    cols = rng.integers(0, n, e).astype(np.int32)
+    s, d = native.ata_graph(rows, cols, m, n)
+    got = set(zip(s.tolist(), d.tolist()))
+    want = _python_ata_edges(rows, cols, m, n)
+    assert got == want
+    # no duplicates in the native output
+    assert len(got) == len(s)
+
+
+def test_ata_graph_dense_row_cap():
+    # one row wider than the explicit cut contributes nothing
+    rows = np.concatenate([np.zeros(6, np.int32), np.array([1, 1], np.int32)])
+    cols = np.concatenate([np.arange(6, dtype=np.int32),
+                           np.array([7, 8], np.int32)])
+    s, d = native.ata_graph(rows, cols, 2, 9, row_cut=4)
+    got = set(zip(s.tolist(), d.tolist()))
+    assert got == {(7, 8), (8, 7)}
+
+
+def test_analyze_best_picks_min_flops():
+    import scipy.sparse as sp
+
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu import sparseqr
+
+    rng = np.random.default_rng(3)
+    n = 60
+    A = sp.random(n, n, density=0.08, random_state=7, format="csc")
+    A = A + sp.eye(n, format="csc")
+    best = sparseqr.analyze_best(A)
+    syms = [sparseqr.analyze(sp.csc_matrix(A), k) for k in range(4)]
+    assert best.flops == min(s.flops for s in syms)
+    serial = sparseqr.analyze_best(A, threads=False)
+    assert serial.flops == best.flops
