@@ -53,3 +53,5 @@ echo "=== QUEUE FULLY DONE $(date +%T) ===" >> $R/queue1.status
 run apples_v3_redo 5400 python -u scripts/graphclass.py --mode scan-mini --ckpt-dir models_ckpt/ref408_v3
 run cross_domain_v3 3600 python -u scripts/cross_domain_eval.py
 echo "=== QUEUE V3 DONE $(date +%T) ===" >> $R/queue1.status
+run sampled_sage_scan 3600 python -u benchmark/sampled_sage_scale.py --scan --infer-iters 0 --fullbatch-epochs 0
+echo "=== QUEUE SCAN DONE $(date +%T) ===" >> $R/queue1.status

@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--fanouts", type=int, nargs="+", default=[25, 10])
     ap.add_argument("--skip-sampled", action="store_true",
                     help="skip the sampled-training phase")
+    ap.add_argument("--scan", action="store_true",
+                    help="sampled phase as ONE on-device lax.scan per "
+                         "epoch (sampling fused into the program; "
+                         "train.make_scanned_sampled_trainer) instead of "
+                         "one dispatch per minibatch")
     ap.add_argument("--infer-iters", type=int, default=20,
                     help="timed iterations of full-graph layer-wise "
                          "inference (plan on/off); 0 disables")
@@ -144,7 +149,43 @@ def main():
           f"fanouts={args.fanouts} batch={args.batch} "
           f"batches/epoch={len(loader)} table_build={t_table:.2f}s")
 
-    if not args.skip_sampled:
+    if not args.skip_sampled and args.scan:
+        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.train import (
+            make_scanned_sampled_trainer,
+        )
+
+        def scan_loss(p, blocks, seeds, xj, yj):
+            logp = model.apply(p, xj[blocks[0].src_ids], blocks)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, yj[seeds][:, None], 1))
+
+        epoch_fn = make_scanned_sampled_trainer(
+            scan_loss, tx, loader.table, args.fanouts)
+        key = jax.random.key(0)
+        seeds0 = jnp.asarray(loader.seed_batches(0))
+        # warm-up compile
+        tc = time.time()
+        params, opt, key, losses = epoch_fn(
+            params, opt, key, seeds0, xj, yj)
+        jax.block_until_ready(losses)
+        print(f"scan epoch compile+run: {time.time() - tc:.1f}s")
+        t0 = time.time()
+        for epoch in range(args.epochs):
+            seeds = jnp.asarray(loader.seed_batches(epoch + 1))
+            params, opt, key, losses = epoch_fn(
+                params, opt, key, seeds, xj, yj)
+            jax.block_until_ready(losses)
+            print(f"epoch {epoch}: loss={float(losses[-1]):.4f}")
+        wall = time.time() - t0
+        nb = seeds0.shape[0]
+        spe = sum(args.batch * int(np.prod(args.fanouts[: i + 1]))
+                  for i in range(len(args.fanouts)))
+        samp_rate = args.epochs * nb * spe / wall
+        print(f"scan epoch_time={wall / args.epochs:.3f}s "
+              f"(1 dispatch/epoch) "
+              f"base_edges_per_s={args.epochs * args.edges / wall / 1e6:.1f}M "
+              f"sampled_edges_per_s={samp_rate / 1e6:.1f}M")
+    elif not args.skip_sampled:
         sampled_edges = 0
         t0 = time.time()
         for epoch in range(args.epochs):

@@ -181,6 +181,23 @@ class NeighborSampler:
     def __len__(self):
         return len(self.node_idx) // self.batch_size
 
+    def seed_batches(self, epoch: int = 0) -> np.ndarray:
+        """Stacked ``[num_batches, batch_size]`` int32 seed ids for one
+        epoch (the scanned-trainer input,
+        :func:`~..train.sampled_scan.make_scanned_sampled_trainer`) —
+        same shuffle discipline as :meth:`__iter__`, last partial batch
+        dropped for fixed shapes."""
+        idx = self.node_idx.copy()
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        nb = len(self)
+        return (
+            idx[: nb * self.batch_size]
+            .astype(np.int32)
+            .reshape(nb, self.batch_size)
+        )
+
     def __iter__(self):
         idx = self.node_idx.copy()
         if self.shuffle:

@@ -1,0 +1,74 @@
+"""On-device scanned sampled-subgraph training.
+
+The reference's sampled-SAGE flow (``examples/reddit.py``,
+``examples/multi_gpu/distributed_sampling.py:61-114``) runs CPU sampling
+workers and dispatches one optimizer step per minibatch — dozens of
+host→device round trips per epoch.  On TPU the fanout sampler is itself a
+fixed-shape jittable program (:func:`~..data.sampler.sample_fanout`), so
+the whole epoch — sampling included — compiles into ONE ``lax.scan``
+program: a single dispatch per epoch, no host in the loop.  Through a
+~20 ms-RTT tunnel this is the difference between ~6.6 s/epoch and device
+-compute-bound epochs.
+
+Usage::
+
+    epoch_fn = make_scanned_sampled_trainer(loss_fn, tx, table, [25, 10])
+    seed_batches = sampler.seed_batches(epoch)          # [nb, B] int32
+    params, opt_state, key, losses = epoch_fn(
+        params, opt_state, key, seed_batches, feats, labels)
+
+``loss_fn(params, blocks, seeds, *data)`` receives the REVERSE-ordered
+bipartite blocks exactly as the per-batch ``NeighborSampler`` yields
+them, so the same model code runs in both modes.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.sampler import CSRTable, sample_fanout
+
+__all__ = ["make_scanned_sampled_trainer"]
+
+
+def make_scanned_sampled_trainer(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    table: CSRTable,
+    fanouts: Sequence[int],
+):
+    """Build a jitted one-dispatch-per-epoch trainer.
+
+    ``loss_fn(params, blocks, seeds, *data) -> scalar`` closes over the
+    model; ``*data`` (e.g. the feature matrix and labels) are passed as
+    explicit epoch arguments so they live as program parameters, not
+    baked-in constants.  The returned function maps
+    ``(params, opt_state, key, seed_batches, *data)`` to
+    ``(params, opt_state, key, losses)`` where ``seed_batches`` is
+    ``[num_batches, batch]`` int32 and ``losses`` is ``[num_batches]``.
+
+    Key discipline matches the per-batch path: one ``jax.random.split``
+    per minibatch feeding :func:`sample_fanout`, so a scanned epoch with
+    the same starting key reproduces the per-batch epoch bit-for-bit.
+    """
+    fanouts = list(fanouts)
+
+    def epoch(params, opt_state, key, seed_batches, *data):
+        def body(carry, seeds):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            blocks = sample_fanout(sub, table, seeds, fanouts)
+            l, grads = jax.value_and_grad(loss_fn)(
+                params, blocks, seeds, *data)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), l
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), seed_batches)
+        return params, opt_state, key, losses
+
+    return jax.jit(epoch)
