@@ -67,7 +67,9 @@ def main():
     ap.add_argument("matrix", help="MatrixMarket .mtx path")
     ap.add_argument("graph_id", type=int, nargs="?", default=0)
     ap.add_argument("ordering", nargs="?", default="1",
-                    help="0=AMD 1=COLAMD 2=METIS 3=NESDIS | gcn")
+                    help="0=AMD 1=COLAMD 2=METIS 3=NESDIS | gcn | best "
+                         "(brute-force min-flops of the four, the "
+                         "reference's QR_ORDERING_CHOL mode)")
     ap.add_argument("--ckpt", default="models_ckpt/graphmodel_best.msgpack")
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--readout", default="meanmax", choices=["max", "meanmax"])
@@ -115,17 +117,23 @@ def main():
                                            args.hidden, args.readout)
         print(f"GCN-selected ordering: {ordering} "
               f"({ORDERING_NAMES[ordering]}), inference {t_gcn:.4f}s")
-    else:
+    elif args.ordering != "best":
         ordering = int(args.ordering)
 
     t = read_mtx(args.matrix)
     A = sp.csc_matrix(to_csr(t)).astype(np.float64)
     m, n = A.shape
-    print(f"{osp.basename(args.matrix)}: {m}x{n}, nnz={A.nnz}, "
-          f"ordering={ORDERING_NAMES.get(ordering, ordering)}")
 
     t0 = time.time()
-    sym = sparseqr.analyze(A, ordering)
+    if args.ordering == "best":
+        sym = sparseqr.analyze_best(A)
+        ordering = sym.ordering
+        print(f"{osp.basename(args.matrix)}: {m}x{n}, nnz={A.nnz}, "
+              f"ordering=best -> {ORDERING_NAMES.get(ordering, ordering)}")
+    else:
+        print(f"{osp.basename(args.matrix)}: {m}x{n}, nnz={A.nnz}, "
+              f"ordering={ORDERING_NAMES.get(ordering, ordering)}")
+        sym = sparseqr.analyze(A, ordering)
     t_ana = time.time() - t0
     nlevels = len(sym.levels)
     print(f"analyze: {t_ana:.4f}s  fronts={len(sym.fronts)} levels={nlevels} "
