@@ -395,7 +395,9 @@ MDResult amd_fast(const Adj& a,
   vector<int64_t> wval(nid, 0);      // |L_e \ L_p| weighted counters
   int32_t cur_stamp = 0;
   vector<int32_t> Lp;                // pivot boundary (principal vars)
-  vector<int64_t> hash_of(n, 0);
+  vector<uint64_t> hash_of(n, 0);
+  vector<int32_t> vcmp(n, 0), ecmp(nid, 0);  // supervariable-compare stamps
+  int32_t cmp_stamp = 0;
 
   int64_t emitted = 0;
   const int64_t to_emit = nondense;
@@ -499,20 +501,37 @@ MDResult amd_fast(const Adj& a,
       ea.resize(w2);
       ea.push_back(v);  // the new element (registered below)
 
-      std::sort(va.begin(), va.end());
-      std::sort(ea.begin(), ea.end());
-      int64_t h = 0;
-      for (int32_t x : va) h = h * 131 + x + 1;
-      for (int32_t e : ea) h = h * 131 + e + 1;
+      // commutative hash (no sort — the reference amd.c discipline);
+      // equal-hash candidates are verified exactly by stamp comparison
+      uint64_t h = 0;
+      for (int32_t x : va) h += ((uint64_t)x + 1) * 0x9E3779B97F4Bull;
+      for (int32_t e : ea) h += ((uint64_t)e + 1) * 0xC2B2AE3D27D5ull;
       hash_of[u] = h;
     }
 
-    // --- supervariable detection (hash buckets, exact list compare) -------
+    // --- supervariable detection (hash buckets, exact stamp compare) ------
     if (Lp.size() > 1) {
       // sort boundary by hash so equal-hash candidates are adjacent
       std::sort(Lp.begin(), Lp.end(), [&](int32_t x, int32_t y) {
         return hash_of[x] < hash_of[y] || (hash_of[x] == hash_of[y] && x < y);
       });
+      // exact unordered-set equality of (varadj, eladj) via dedicated
+      // comparison stamps (cur_stamp/estamp stay valid for the degree
+      // update below): mark u's lists, then check t's lists are fully
+      // marked + equal length
+      auto lists_equal = [&](int32_t u, int32_t t) {
+        if (varadj[u].size() != varadj[t].size() ||
+            eladj[u].size() != eladj[t].size())
+          return false;
+        ++cmp_stamp;
+        for (int32_t x : varadj[u]) vcmp[x] = cmp_stamp;
+        for (int32_t e : eladj[u]) ecmp[e] = cmp_stamp;
+        for (int32_t x : varadj[t])
+          if (vcmp[x] != cmp_stamp) return false;
+        for (int32_t e : eladj[t])
+          if (ecmp[e] != cmp_stamp) return false;
+        return true;
+      };
       for (size_t i = 0; i + 1 < Lp.size(); ++i) {
         int32_t u = Lp[i];
         if (nv[u] == 0) continue;
@@ -520,7 +539,7 @@ MDResult amd_fast(const Adj& a,
              j < Lp.size() && hash_of[Lp[j]] == hash_of[u]; ++j) {
           int32_t t = Lp[j];
           if (nv[t] == 0) continue;
-          if (varadj[u] == varadj[t] && eladj[u] == eladj[t]) {
+          if (lists_equal(u, t)) {
             nv[u] += nv[t];
             nv[t] = 0;
             members[u].push_back(t);
