@@ -24,6 +24,42 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 - 2.0 * cross + b2, 0.0)
 
 
+# rows at least this wide take the iterative-argmin smallest-k path:
+# lax.top_k lowers to a full-width sorting network whose Mosaic compile
+# time explodes with row width (measured ~40 min at width 8192 in
+# benchmark/points.py edge_cnn), while k argmin sweeps compile in seconds
+# and run at HBM speed for the small k point-cloud layers use.
+_ITERATIVE_WIDTH = 4096
+
+
+def _smallest_k(d: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-smallest per row of ``d`` → (values [N,k], indices [N,k]).
+
+    Tie-breaking matches ``lax.top_k`` (lowest index first).  Wide rows use
+    k masked argmin sweeps instead of a single full-row sort.
+    """
+    if d.shape[-1] < _ITERATIVE_WIDTH or k > 64:
+        neg_v, idx = jax.lax.top_k(-d, k)
+        return -neg_v, idx
+    n = d.shape[0]
+    rows = jnp.arange(n)
+
+    def body(i, carry):
+        d_cur, vals, idxs = carry
+        j = jnp.argmin(d_cur, axis=1)
+        v = jnp.take_along_axis(d_cur, j[:, None], 1)[:, 0]
+        vals = jax.lax.dynamic_update_index_in_dim(vals, v, i, 1)
+        idxs = jax.lax.dynamic_update_index_in_dim(
+            idxs, j.astype(jnp.int32), i, 1)
+        d_cur = d_cur.at[rows, j].set(jnp.inf)
+        return d_cur, vals, idxs
+
+    vals0 = jnp.zeros((n, k), d.dtype)
+    idxs0 = jnp.zeros((n, k), jnp.int32)
+    _, vals, idxs = jax.lax.fori_loop(0, k, body, (d, vals0, idxs0))
+    return vals, idxs
+
+
 def knn(
     x_src: jnp.ndarray,
     x_dst: jnp.ndarray,
@@ -46,8 +82,8 @@ def knn(
         d = jnp.where(same, d, jnp.inf)
     if mask_src is not None:
         d = jnp.where(mask_src[None, :], d, jnp.inf)
-    neg_d, idx = jax.lax.top_k(-d, k)
-    return idx, -neg_d
+    sd, idx = _smallest_k(d, k)
+    return idx, sd
 
 
 def knn_graph(
@@ -74,7 +110,7 @@ def knn_graph(
         d = jnp.where(mask[None, :], d, jnp.inf)
     if not loop:
         d = d + jnp.diag(jnp.full((n,), jnp.inf, d.dtype))
-    _, idx = jax.lax.top_k(-d, k)          # [N, k] neighbor ids
+    _, idx = _smallest_k(d, k)             # [N, k] neighbor ids
     receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     senders = idx.reshape(-1).astype(jnp.int32)
     return senders, receivers
