@@ -292,6 +292,11 @@ class QRFactorization:
     backend: str                     # "jax" | "numpy"
     q_data: Optional[List[List[Tuple]]] = None  # per level/bucket (fact, taus)
     dtype: object = np.float32
+    # cache of the damped augmented-system factorization the rank-deficient
+    # solve path falls back to: (lam, A_aug_csc, F_aug).  Filled lazily by
+    # ``least_squares`` so repeated solves against one handle refactorize
+    # [A; lam*I] once, not per call.
+    damped: Optional[Tuple] = None
 
     @property
     def keep_q(self) -> bool:

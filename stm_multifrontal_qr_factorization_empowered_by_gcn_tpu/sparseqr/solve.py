@@ -448,14 +448,26 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
     A64 = sp.csc_matrix(A).astype(np.float64)
     if F is None:
         F = factorize(A, keep_q=(method == "qmult"), **fact_kw)
-    if F.rank < F.sym.n and (damp is None or damp > 0):
+
+    def _switch_damped(F, A64, b):
+        """Augmented-system fallback, cached on the handle so repeated
+        solves refactorize [A; lam*I] once (see QRFactorization.damped)."""
         lam = float(F.tol if damp is None else damp)
-        m, n = A64.shape
-        A_aug = sp.vstack([A64, lam * sp.eye(n, format="csc")]).tocsc()
-        F = factorize(A_aug, keep_q=(method == "qmult"), **fact_kw)
+        n = A64.shape[1]
+        need_q = method == "qmult"
+        if (F.damped is not None and F.damped[0] == lam
+                and (not need_q or F.damped[2].keep_q)):
+            _, A_aug, F_aug = F.damped
+        else:
+            A_aug = sp.vstack([A64, lam * sp.eye(n, format="csc")]).tocsc()
+            F_aug = factorize(A_aug, keep_q=need_q, **fact_kw)
+            F.damped = (lam, A_aug, F_aug)
         b64 = np.asarray(b, np.float64)
         bb = np.concatenate([b64, np.zeros((n,) + b64.shape[1:])], axis=0)
-        A64, b = A_aug, bb.astype(np.asarray(b).dtype)
+        return F_aug, A_aug, bb.astype(np.asarray(b).dtype)
+
+    if F.rank < F.sym.n and (damp is None or damp > 0):
+        F, A64, b = _switch_damped(F, A64, b)
     if method == "seminormal":
         x = _seminormal_solve_once(F, A64, b)
     elif method == "qmult":
@@ -465,13 +477,7 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
     if not np.isfinite(np.asarray(x)).all() and (damp is None or damp > 0):
         # full-rank by the tolerance test, but diagonals barely above it
         # overflowed the working precision — same remedy as deficiency
-        lam = float(F.tol if damp is None else damp)
-        m, n = A64.shape
-        A_aug = sp.vstack([A64, lam * sp.eye(n, format="csc")]).tocsc()
-        F = factorize(A_aug, keep_q=(method == "qmult"), **fact_kw)
-        b64 = np.asarray(b, np.float64)
-        bb = np.concatenate([b64, np.zeros((n,) + b64.shape[1:])], axis=0)
-        A64, b = A_aug, bb.astype(np.asarray(b).dtype)
+        F, A64, b = _switch_damped(F, A64, b)
         x = (_seminormal_solve_once(F, A64, b) if method == "seminormal"
              else _qr_solve_once(F, b))
     if refine:
