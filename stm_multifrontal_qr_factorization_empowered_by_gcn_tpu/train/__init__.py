@@ -9,12 +9,16 @@ from .scan_trainer import (
     minibatch_fit,
     pad_dataset,
 )
-from .sampled_scan import make_scanned_sampled_trainer
+from .sampled_scan import (
+    make_dp_scanned_sampled_trainer,
+    make_scanned_sampled_trainer,
+)
 from .trainer import Trainer
 
 __all__ = [
     "Trainer",
     "make_scanned_sampled_trainer",
+    "make_dp_scanned_sampled_trainer",
     "FitResult",
     "fullbatch_fit",
     "make_padded_batches",

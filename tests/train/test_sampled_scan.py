@@ -118,3 +118,60 @@ def test_seed_batches_shape(setup):
     assert sb.dtype == np.int32
     # different epochs shuffle differently
     assert not np.array_equal(sb, sampler.seed_batches(1))
+
+
+def test_dp_scan_epoch(setup):
+    """DP trainer on a 4-device mesh: grads psum-averaged every step ==
+    a single-device step on the concatenated global batch (one-step
+    parity), and multi-epoch training learns."""
+    from jax.sharding import Mesh
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.train import (
+        make_dp_scanned_sampled_trainer,
+    )
+
+    sampler, model, xj, yj = setup
+    tx = optax.sgd(1e-2)
+    loss = _loss_fn(model)
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("data",))
+
+    seeds0 = jnp.asarray(sampler.seed_batches(0))   # [nb, 8]
+    key0 = jax.random.key(5)
+    blocks0 = sample_fanout(key0, sampler.table, seeds0[0], FANOUTS)
+    params = model.init(jax.random.key(0), xj[blocks0[0].src_ids], blocks0)
+    opt = tx.init(params)
+
+    epoch_fn = make_dp_scanned_sampled_trainer(
+        loss, tx, sampler.table, FANOUTS, mesh)
+
+    # one-step parity: manually average the 4 shard grads
+    one = seeds0[:1]
+    p1, o1, _, l1 = epoch_fn(params, opt, key0, one, xj, yj)
+    gsum = None
+    ls = []
+    for d in range(4):
+        sub = jax.random.split(
+            jax.random.fold_in(key0, d))[1]
+        shard = one[0].reshape(4, 2)[d]
+        blocks = sample_fanout(sub, sampler.table, shard, FANOUTS)
+        l, g = jax.value_and_grad(loss)(params, blocks, shard, xj, yj)
+        ls.append(float(l))
+        g = jax.tree_util.tree_map(lambda x: x / 4.0, g)
+        gsum = g if gsum is None else jax.tree_util.tree_map(
+            jnp.add, gsum, g)
+    u, _ = tx.update(gsum, opt, params)
+    p_ref = optax.apply_updates(params, u)
+    np.testing.assert_allclose(float(l1[0]), np.mean(ls), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # learning over epochs
+    key = key0
+    first = None
+    for ep in range(12):
+        seeds = jnp.asarray(sampler.seed_batches(ep))
+        params, opt, key, losses = epoch_fn(params, opt, key, seeds, xj, yj)
+        if first is None:
+            first = float(losses[0])
+    assert float(losses[-1]) < first
