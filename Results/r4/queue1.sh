@@ -55,3 +55,5 @@ run cross_domain_v3 3600 python -u scripts/cross_domain_eval.py
 echo "=== QUEUE V3 DONE $(date +%T) ===" >> $R/queue1.status
 run sampled_sage_scan 3600 python -u benchmark/sampled_sage_scale.py --scan --infer-iters 0 --fullbatch-epochs 0
 echo "=== QUEUE SCAN DONE $(date +%T) ===" >> $R/queue1.status
+run points_edgecnn_fastknn 3600 python -u benchmark/points.py --model edge_cnn --epochs 5
+echo "=== QUEUE KNN DONE $(date +%T) ===" >> $R/queue1.status
