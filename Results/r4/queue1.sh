@@ -57,3 +57,6 @@ run sampled_sage_scan 3600 python -u benchmark/sampled_sage_scale.py --scan --in
 echo "=== QUEUE SCAN DONE $(date +%T) ===" >> $R/queue1.status
 run points_edgecnn_fastknn 3600 python -u benchmark/points.py --model edge_cnn --epochs 5
 echo "=== QUEUE KNN DONE $(date +%T) ===" >> $R/queue1.status
+run bench_fixed 3600 python -u bench.py
+run bsr_ab_fixed 3600 python -u benchmark/bsr_ab.py
+echo "=== QUEUE BSRFIX DONE $(date +%T) ===" >> $R/queue1.status

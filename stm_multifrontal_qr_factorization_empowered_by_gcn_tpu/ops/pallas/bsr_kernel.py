@@ -135,7 +135,11 @@ def _kernel_fused(browf_ref, bcol_ref, alpha_ref, blk_ref, x_ref, out_ref, ss_re
     @pl.when(last_of_row)
     def _():
         o = out_ref[...]
-        ss_ref[...] = jnp.sum(o * o, axis=0, keepdims=True)
+        s = jnp.sum(o * o, axis=0)
+        # ss tile is (1, 8, F) — 8 sublanes of padding so the output block
+        # satisfies the TPU (8, 128) tiling rule; the partial lives in
+        # sublane 0, the rest are zeros the caller never reads
+        ss_ref[...] = jnp.zeros(ss_ref.shape, jnp.float32).at[0, 0, :].set(s)
 
 
 def bsr_matmul_fused_pallas(
@@ -168,7 +172,7 @@ def bsr_matmul_fused_pallas(
         ],
         out_specs=[
             pl.BlockSpec((BLOCK, f), lambda k, browf, bcol: (browf[k], 0)),
-            pl.BlockSpec((1, f), lambda k, browf, bcol: (browf[k], 0)),
+            pl.BlockSpec((1, 8, f), lambda k, browf, bcol: (browf[k], 0, 0)),
         ],
     )
     out, ss = pl.pallas_call(
@@ -176,7 +180,7 @@ def bsr_matmul_fused_pallas(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nbrow * BLOCK, f), jnp.float32),
-            jax.ShapeDtypeStruct((nbrow, f), jnp.float32),
+            jax.ShapeDtypeStruct((nbrow, 8, f), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
