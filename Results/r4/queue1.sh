@@ -60,3 +60,5 @@ echo "=== QUEUE KNN DONE $(date +%T) ===" >> $R/queue1.status
 run bench_fixed 3600 python -u bench.py
 run bsr_ab_fixed 3600 python -u benchmark/bsr_ab.py
 echo "=== QUEUE BSRFIX DONE $(date +%T) ===" >> $R/queue1.status
+run qr_bench_best_r2 5400 python -u benchmark/qr_bench.py --ordering best
+echo "=== QUEUE QR2 DONE $(date +%T) ===" >> $R/queue1.status

@@ -82,35 +82,42 @@ def main():
             continue
 
         # steady state: chain-differenced timing inside one fori_loop
-        # program (the axon tunnel costs a flat ~20 ms per host sync)
-        import jax.numpy as jnp
-        from benchmark.qr_timing import time_factorize
-        from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.sparseqr.numeric import (
-            _make_fused_run, ell_values)
-        plan = sym._plan
-        run = _make_fused_run(plan.buckets, False)
-        sdata0 = jnp.asarray(ell_values(plan), jnp.float32)
-        t_fac = time_factorize(run, plan, sdata0, reps=args.repeats)
-        gfs = sym.flops / t_fac / 1e9
-        # solve-and-check (the reference's correctness witness): relative
-        # residual ‖Ax−b‖/‖b‖ is meaningful even at detected rank
-        # deficiency (where forward error is unbounded); keep the better of
-        # the plain and refined solves.
-        rng = np.random.default_rng(0)
-        x_true = rng.normal(size=n)
-        b = (A @ x_true).astype(np.float32)
+        # program (the axon tunnel costs a flat ~20 ms per host sync).
+        # Guarded per matrix: a transient tunnel error must not kill the
+        # rest of the sweep.
+        try:
+            import jax.numpy as jnp
+            from benchmark.qr_timing import time_factorize
+            from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.sparseqr.numeric import (
+                _make_fused_run, ell_values)
+            plan = sym._plan
+            run = _make_fused_run(plan.buckets, False)
+            sdata0 = jnp.asarray(ell_values(plan), jnp.float32)
+            t_fac = time_factorize(run, plan, sdata0, reps=args.repeats)
+            gfs = sym.flops / t_fac / 1e9
+            # solve-and-check (the reference's correctness witness):
+            # relative residual ‖Ax−b‖/‖b‖ is meaningful even at detected
+            # rank deficiency (where forward error is unbounded); keep the
+            # better of the plain and refined solves.
+            rng = np.random.default_rng(0)
+            x_true = rng.normal(size=n)
+            b = (A @ x_true).astype(np.float32)
 
-        def relres(x):
-            x = np.asarray(x, np.float64)
-            r = np.linalg.norm(A @ x - b) / max(np.linalg.norm(b), 1e-300)
-            return r if np.isfinite(r) else np.inf
+            def relres(x):
+                x = np.asarray(x, np.float64)
+                r = np.linalg.norm(A @ x - b) / max(np.linalg.norm(b), 1e-300)
+                return r if np.isfinite(r) else np.inf
 
-        x0, _ = sparseqr.least_squares(A, b, F=F, method="seminormal")
-        res = relres(x0)
-        # refine also applies on the damped rank-deficient path
-        x1, _ = sparseqr.least_squares(A, b, F=F, method="seminormal",
-                                       refine=2)
-        res = min(res, relres(x1))
+            x0, _ = sparseqr.least_squares(A, b, F=F, method="seminormal")
+            res = relres(x0)
+            # refine also applies on the damped rank-deficient path
+            x1, _ = sparseqr.least_squares(A, b, F=F, method="seminormal",
+                                           refine=2)
+            res = min(res, relres(x1))
+        except Exception as e:
+            print(f"{name:<18}{f'{m}x{n}':<14}{A.nnz:>8}  bench failed: "
+                  f"{type(e).__name__}: {e}")
+            continue
         print(f"{name:<18}{f'{m}x{n}':<14}{A.nnz:>8}{len(sym.fronts):>7}"
               f"{len(sym.levels):>5}{t_ana:>8.3f}{t_fac*1e3:>10.2f}"
               f"{gfs:>9.1f}{res:>10.1e}")
