@@ -62,3 +62,6 @@ run bsr_ab_fixed 3600 python -u benchmark/bsr_ab.py
 echo "=== QUEUE BSRFIX DONE $(date +%T) ===" >> $R/queue1.status
 run qr_bench_best_r2 5400 python -u benchmark/qr_bench.py --ordering best
 echo "=== QUEUE QR2 DONE $(date +%T) ===" >> $R/queue1.status
+run sampled_sage_scan2 3600 python -u benchmark/sampled_sage_scale.py --scan --infer-iters 0 --fullbatch-epochs 0
+run points_edgecnn_fastknn2 3600 python -u benchmark/points.py --model edge_cnn --epochs 5
+echo "=== QUEUE SCAN2 DONE $(date +%T) ===" >> $R/queue1.status

@@ -56,7 +56,13 @@ def make_scanned_sampled_trainer(
     """
     fanouts = list(fanouts)
 
-    def epoch(params, opt_state, key, seed_batches, *data):
+    # the table rides as a traced ARGUMENT, not a closure capture: captured
+    # device arrays are baked into the HLO as constants, which bloats the
+    # serialized program by the table's full size (hundreds of MB at
+    # ogbn-arxiv scale — measured as an HTTP 413 on the remote-compile
+    # tunnel) and forces a recompile per table
+    @jax.jit
+    def _epoch(table, params, opt_state, key, seed_batches, *data):
         def body(carry, seeds):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
@@ -71,7 +77,10 @@ def make_scanned_sampled_trainer(
             body, (params, opt_state, key), seed_batches)
         return params, opt_state, key, losses
 
-    return jax.jit(epoch)
+    def epoch(params, opt_state, key, seed_batches, *data):
+        return _epoch(table, params, opt_state, key, seed_batches, *data)
+
+    return epoch
 
 
 def make_dp_scanned_sampled_trainer(
@@ -104,8 +113,9 @@ def make_dp_scanned_sampled_trainer(
     fanouts = list(fanouts)
     ndev = mesh.shape[axis_name]
 
-    def epoch(params, opt_state, key, seed_batches, *data):
-        def shard_body(params, opt_state, key, seeds_shard, *data):
+    @jax.jit
+    def _epoch(table, params, opt_state, key, seed_batches, *data):
+        def shard_body(table, params, opt_state, key, seeds_shard, *data):
             # seeds_shard arrives [nb, 1, batch_local] on this device
             seeds_shard = seeds_shard[:, 0, :]
             # device-distinct sampling stream (the per-rank sampler of the
@@ -133,12 +143,15 @@ def make_dp_scanned_sampled_trainer(
         rep = P()
         params, opt_state, losses = shard_map(
             shard_body, mesh=mesh,
-            in_specs=(rep, rep, rep, P(None, axis_name, None))
+            in_specs=(rep, rep, rep, rep, P(None, axis_name, None))
             + (rep,) * len(data),
             out_specs=(rep, rep, rep),
             check_rep=False,
-        )(params, opt_state, key, seeds, *data)
+        )(table, params, opt_state, key, seeds, *data)
         # advance the epoch key deterministically on the replicated stream
         return params, opt_state, jax.random.fold_in(key, nb), losses
 
-    return jax.jit(epoch)
+    def epoch(params, opt_state, key, seed_batches, *data):
+        return _epoch(table, params, opt_state, key, seed_batches, *data)
+
+    return epoch

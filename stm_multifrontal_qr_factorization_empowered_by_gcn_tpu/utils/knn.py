@@ -32,32 +32,39 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 _ITERATIVE_WIDTH = 4096
 
 
+_CHUNK = 512
+
+
 def _smallest_k(d: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-smallest per row of ``d`` → (values [N,k], indices [N,k]).
 
     Tie-breaking matches ``lax.top_k`` (lowest index first).  Wide rows use
-    k masked argmin sweeps instead of a single full-row sort.
+    a two-stage exact selection: per-512-chunk ``top_k`` (narrow sort
+    networks that compile fast) followed by a top-k merge over the
+    ``nchunks*k`` candidates — any global k-smallest element is among its
+    chunk's k smallest, and candidate order (chunk asc, rank asc) preserves
+    the lowest-index-first tie-break.
     """
-    if d.shape[-1] < _ITERATIVE_WIDTH or k > 64:
+    n, w = d.shape
+    if w < _ITERATIVE_WIDTH or k > 64:
         neg_v, idx = jax.lax.top_k(-d, k)
         return -neg_v, idx
-    n = d.shape[0]
-    rows = jnp.arange(n)
-
-    def body(i, carry):
-        d_cur, vals, idxs = carry
-        j = jnp.argmin(d_cur, axis=1)
-        v = jnp.take_along_axis(d_cur, j[:, None], 1)[:, 0]
-        vals = jax.lax.dynamic_update_index_in_dim(vals, v, i, 1)
-        idxs = jax.lax.dynamic_update_index_in_dim(
-            idxs, j.astype(jnp.int32), i, 1)
-        d_cur = d_cur.at[rows, j].set(jnp.inf)
-        return d_cur, vals, idxs
-
-    vals0 = jnp.zeros((n, k), d.dtype)
-    idxs0 = jnp.zeros((n, k), jnp.int32)
-    _, vals, idxs = jax.lax.fori_loop(0, k, body, (d, vals0, idxs0))
-    return vals, idxs
+    pad = (-w) % _CHUNK
+    if pad:
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    nc = d.shape[1] // _CHUNK
+    dc = d.reshape(n, nc, _CHUNK)
+    cv, ci = jax.lax.top_k(-dc, k)                       # [n, nc, k]
+    offs = (jnp.arange(nc, dtype=jnp.int32) * _CHUNK)[None, :, None]
+    cand_v = cv.reshape(n, nc * k)
+    cand_i = (ci.astype(jnp.int32) + offs).reshape(n, nc * k)
+    v2, j = jax.lax.top_k(cand_v, k)                     # [n, k]
+    idx = jnp.take_along_axis(cand_i, j, 1)
+    # padding positions can only surface from all-inf tails; keep indices
+    # in range (their distance stays +inf, which callers already treat as
+    # invalid)
+    idx = jnp.minimum(idx, w - 1)
+    return -v2, idx
 
 
 def knn(
