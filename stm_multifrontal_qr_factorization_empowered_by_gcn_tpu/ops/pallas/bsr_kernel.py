@@ -138,8 +138,10 @@ def _kernel_fused(browf_ref, bcol_ref, alpha_ref, blk_ref, x_ref, out_ref, ss_re
         s = jnp.sum(o * o, axis=0)
         # ss tile is (1, 8, F) — 8 sublanes of padding so the output block
         # satisfies the TPU (8, 128) tiling rule; the partial lives in
-        # sublane 0, the rest are zeros the caller never reads
-        ss_ref[...] = jnp.zeros(ss_ref.shape, jnp.float32).at[0, 0, :].set(s)
+        # sublane 0, the rest are zeros the caller never reads.  Built with
+        # an iota mask: .at[].set lowers to scatter, which Mosaic lacks.
+        sub = jax.lax.broadcasted_iota(jnp.int32, ss_ref.shape, 1)
+        ss_ref[...] = jnp.where(sub == 0, s[None, None, :], 0.0)
 
 
 def bsr_matmul_fused_pallas(
