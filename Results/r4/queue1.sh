@@ -68,3 +68,5 @@ echo "=== QUEUE SCAN2 DONE $(date +%T) ===" >> $R/queue1.status
 run bench_fixed2 3600 python -u bench.py
 run bsr_ab_fixed2 3600 python -u benchmark/bsr_ab.py
 echo "=== QUEUE BSRFIX2 DONE $(date +%T) ===" >> $R/queue1.status
+run sampled_sage_scan3 3600 python -u benchmark/sampled_sage_scale.py --scan --infer-iters 0 --fullbatch-epochs 0
+echo "=== QUEUE SCAN3 DONE $(date +%T) ===" >> $R/queue1.status

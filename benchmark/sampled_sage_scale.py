@@ -96,9 +96,7 @@ def main():
             for i, blk in enumerate(blocks):
                 h_dst = h[: blk.num_dst]
                 h = SAGEConv((h.shape[-1], h.shape[-1]), dims[i],
-                             name=f"conv{i}")(
-                    (h, h_dst), blk.senders, blk.receivers,
-                    num_nodes=blk.num_dst, edge_mask=blk.edge_mask)
+                             name=f"conv{i}")((h, h_dst), blk)
                 if i < len(dims) - 1:
                     h = nn.relu(h)
             return jax.nn.log_softmax(h)

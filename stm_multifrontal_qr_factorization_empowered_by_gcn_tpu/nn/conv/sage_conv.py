@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...data.graph import Graph
+from ...data.sampler import BipartiteBlock
 from ..inits import kaiming_uniform, linear_bias
 from ..message_passing import MessagePassing, propagate
 
@@ -37,7 +38,20 @@ class SAGEConv(MessagePassing):
         edge_mask: Optional[jnp.ndarray] = None,
         plan=None,
     ) -> jnp.ndarray:
-        if isinstance(graph_or_senders, Graph):
+        block = None
+        if isinstance(graph_or_senders, BipartiteBlock):
+            # Sampler blocks have a REGULAR layout (sample_block:
+            # senders = num_dst + arange(num_dst*fanout), receivers =
+            # repeat(arange(num_dst), fanout)), so neighbor aggregation is
+            # a reshape + masked reduction over the fanout axis — no
+            # scatter, no gather.  XLA's scatter path on the same edges is
+            # ~10x slower; this is the sampled-SAGE hot loop
+            # (examples/multi_gpu/distributed_sampling.py:27-34).
+            block = graph_or_senders
+            senders, receivers = block.senders, block.receivers
+            num_nodes = block.num_dst if num_nodes is None else num_nodes
+            edge_mask = block.edge_mask if edge_mask is None else edge_mask
+        elif isinstance(graph_or_senders, Graph):
             g = graph_or_senders
             senders, receivers = g.senders, g.receivers
             num_nodes = g.num_nodes if num_nodes is None else num_nodes
@@ -59,6 +73,20 @@ class SAGEConv(MessagePassing):
             # fast path (ops/plan.py); for the default mean aggregation build
             # with build_mean_plan so 1/deg is baked into the weights
             out = plan.apply(x_pair[0])
+        elif block is not None and self.aggr in ("mean", "add", "sum", "max"):
+            b = int(block.num_dst)
+            fanout = block.senders.shape[0] // b
+            nb = x_pair[0][b : b + b * fanout].reshape(b, fanout, -1)
+            m = edge_mask.reshape(b, fanout, 1)
+            if self.aggr == "mean":
+                out = (nb * m).sum(axis=1) / jnp.maximum(
+                    m.sum(axis=1), 1.0)
+            elif self.aggr in ("add", "sum"):
+                out = (nb * m).sum(axis=1)
+            else:  # max
+                out = jnp.where(
+                    m, nb, -jnp.inf).max(axis=1)
+                out = jnp.where(jnp.isfinite(out), out, 0.0)
         else:
             out = propagate(
                 x_pair,

@@ -30,8 +30,7 @@ class TinySAGE(fnn.Module):
         for i, (blk, d) in enumerate(zip(blocks, dims)):
             h_dst = h[: blk.num_dst]
             h = SAGEConv((h.shape[-1], h.shape[-1]), d, name=f"conv{i}")(
-                (h, h_dst), blk.senders, blk.receivers,
-                num_nodes=blk.num_dst, edge_mask=blk.edge_mask)
+                (h, h_dst), blk)
             if i < len(dims) - 1:
                 h = fnn.relu(h)
         return jax.nn.log_softmax(h)
