@@ -99,22 +99,26 @@ def main():
 
         return run
 
+    def sync(out):
+        # value readback: block_until_ready is NOT a reliable barrier for
+        # small/scalar outputs through the axon tunnel (measured); forcing
+        # the value is
+        return tuple(float(o) for o in out)
+
     for label, wp in (("off", False), ("on", True)):
         rs = make_scan(args.k_short, wp)
         rl = make_scan(args.k_long, wp)
         t0 = time.time()
-        out = rs(params, xj, sj, rj, plan)
-        jax.block_until_ready(out)
+        sync(rs(params, xj, sj, rj, plan))
         t1 = time.time()
-        out = rl(params, xj, sj, rj, plan)
-        jax.block_until_ready(out)
+        sync(rl(params, xj, sj, rj, plan))
         t_compile = (t1 - t0, time.time() - t1)
 
         def best(fn, reps=3):
             ts = []
             for _ in range(reps):
                 t0 = time.time()
-                jax.block_until_ready(fn(params, xj, sj, rj, plan))
+                sync(fn(params, xj, sj, rj, plan))
                 ts.append(time.time() - t0)
             return min(ts)
 

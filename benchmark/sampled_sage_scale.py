@@ -36,6 +36,18 @@ def synth_powerlaw(n, e, f, classes, seed=0):
     return x, send, recv, y
 
 
+
+def _sync(x):
+    """Barrier that actually waits under the axon tunnel: block_until_ready
+    returns early on remote arrays there, so force a value readback."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = [l for l in jax.tree_util.tree_leaves(x)
+            if hasattr(l, "dtype")][0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -140,7 +152,7 @@ def main():
     # warm-up compile on one batch
     params, opt, _ = step(params, opt, xj[blocks[0].src_ids], blocks,
                           yj[seeds])
-    jax.block_until_ready(params)
+    _sync(params)
 
     dev = jax.devices()[0].platform
     print(f"device={dev} N={n} E={args.edges} F={args.feat} "
@@ -165,14 +177,13 @@ def main():
         tc = time.time()
         params, opt, key, losses = epoch_fn(
             params, opt, key, seeds0, xj, yj)
-        jax.block_until_ready(losses)
+        _sync(losses)
         print(f"scan epoch compile+run: {time.time() - tc:.1f}s")
         t0 = time.time()
         for epoch in range(args.epochs):
             seeds = jnp.asarray(loader.seed_batches(epoch + 1))
             params, opt, key, losses = epoch_fn(
                 params, opt, key, seeds, xj, yj)
-            jax.block_until_ready(losses)
             print(f"epoch {epoch}: loss={float(losses[-1]):.4f}")
         wall = time.time() - t0
         nb = seeds0.shape[0]
@@ -194,7 +205,6 @@ def main():
                     params, opt, xj[blocks[0].src_ids], blocks, yj[seeds])
                 for blk in blocks:
                     sampled_edges += int(blk.senders.shape[0])
-            jax.block_until_ready(last)
             print(f"epoch {epoch}: {time.time() - te:.3f}s "
                   f"loss={float(last):.4f}")
         wall = time.time() - t0
@@ -242,12 +252,12 @@ def main():
     assert err < 1e-3, "plan path diverged from segment path"
 
     def timed(fn, iters, *a):
-        jax.block_until_ready(fn(*a))
+        _sync(fn(*a))
         t0 = time.time()
         out = None
         for _ in range(iters):
             out = fn(*a)
-        jax.block_until_ready(out)
+        _sync(out)
         return (time.time() - t0) / iters
 
     layers_e = len(dims) * args.edges  # SpMM edges touched per pass
@@ -279,11 +289,11 @@ def main():
             ep = make_train(with_plan)
             p, o = params, tx.init(params)
             p, o, l = ep(p, o, xj, sj, rj, plan)  # compile
-            jax.block_until_ready(l)
+            _sync(l)
             t0 = time.time()
             for _ in range(args.fullbatch_epochs):
                 p, o, l = ep(p, o, xj, sj, rj, plan)
-            jax.block_until_ready(l)
+            _sync(l)
             t = (time.time() - t0) / args.fullbatch_epochs
             # fwd + 2 SpMMs in bwd (dx via transpose) per layer ≈ 2x edges
             print(f"full-batch train plan-{label}: {t*1e3:.2f}ms/epoch "
