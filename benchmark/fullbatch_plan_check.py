@@ -124,10 +124,11 @@ def main():
 
         ts_, tl_ = best(rs), best(rl)
         dt = (tl_ - ts_) / (args.k_long - args.k_short)
+        last = sync(rl(params, xj, sj, rj, plan))
         print(f"plan-{label}: {dt*1e3:.2f}ms/epoch "
               f"(short {ts_*1e3:.1f}ms long {tl_*1e3:.1f}ms, "
               f"compiles {t_compile[0]:.0f}s/{t_compile[1]:.0f}s) "
-              f"loss={float(out[0]):.4f}", flush=True)
+              f"loss={last[0]:.4f}", flush=True)
 
 
 if __name__ == "__main__":
