@@ -163,6 +163,24 @@ def main():
         file=sys.stderr,
     )
 
+    # bf16-blocks variant (plan block_dtype option; values at bf16, f32
+    # accumulate — halves the dominant block stream), stderr only: the
+    # headline stays f32 for metric continuity
+    try:
+        plan_h = build_spmm_plan(sb, rb, N, edge_weight=wb,
+                                 block_dtype=jnp.bfloat16)
+        ch_hs, ch_hl = chain_of(plan_h, kb_s), chain_of(plan_h, kb_l)
+        _ = float(ch_hs(x0)), float(ch_hl(x0))
+        dt_h = _measure(ch_hs, ch_hl, x0, kb_s, kb_l)
+        print(
+            f"# bf16-blocks variant: {dt_h*1e3:.3f}ms "
+            f"{E/dt_h/1e9:.2f}B edges/s ({dt_b/dt_h:.2f}x vs f32)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # keep the headline robust
+        print(f"# bf16-blocks variant failed: {type(e).__name__}",
+              file=sys.stderr)
+
     # --- 2. power-law graph (Zipf 1.5, Reddit/ogbn regime; stderr) ---------
     wn = np.minimum(rng.zipf(1.5, N), N // 16).astype(np.float64)
     pz = wn / wn.sum()

@@ -57,9 +57,14 @@ def _kernel(browf_ref, bcol_ref, blk_ref, x_ref, out_ref):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # bf16 blocks (plan block_dtype): cast the x window to match so the
+    # MXU runs native bf16 x bf16 -> f32; accumulation stays f32
+    xw = x_ref[...]
+    if blk_ref.dtype == jnp.bfloat16:
+        xw = xw.astype(jnp.bfloat16)
     out_ref[...] += jax.lax.dot_general(
         blk_ref[0],
-        x_ref[...],
+        xw,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -122,9 +127,12 @@ def _kernel_fused(browf_ref, bcol_ref, alpha_ref, blk_ref, x_ref, out_ref, ss_re
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    xw = x_ref[...]
+    if blk_ref.dtype == jnp.bfloat16:
+        xw = xw.astype(jnp.bfloat16)
     out_ref[...] += alpha_ref[0, 0] * jax.lax.dot_general(
         blk_ref[0],
-        x_ref[...],
+        xw,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
