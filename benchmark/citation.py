@@ -145,11 +145,17 @@ def main():
     try:
         from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.datasets import Planetoid
 
-        # fail fast when the raw files aren't on disk — under blocked egress
-        # each download attempt would otherwise hang out its socket timeout
-        if not any(os.scandir("data/Planetoid/Cora/raw")):
-            raise FileNotFoundError("data/Planetoid/Cora/raw is empty")
-        ds = Planetoid("data/Planetoid/Cora", "cora")
+        # real-Cora route engages when EITHER the processed cache or the
+        # raw files exist (the dataset loads from processed/ without ever
+        # touching raw/; its download() raises immediately with no socket)
+        root = "data/Planetoid/Cora"
+        have_processed = os.path.isdir(osp := os.path.join(
+            root, "processed")) and any(os.scandir(osp))
+        have_raw = os.path.isdir(rp := os.path.join(root, "raw")) and any(
+            os.scandir(rp))
+        if not (have_processed or have_raw):
+            raise FileNotFoundError(f"{root}: no processed cache or raw files")
+        ds = Planetoid(root, "cora")
         g, masks = ds.get(0), ds.split_masks
         src = "Cora"
     except Exception:

@@ -187,8 +187,13 @@ def main():
             print(f"epoch {epoch}: loss={float(losses[-1]):.4f}")
         wall = time.time() - t0
         nb = seeds0.shape[0]
-        spe = sum(args.batch * int(np.prod(args.fanouts[: i + 1]))
-                  for i in range(len(args.fanouts)))
+        # edges per batch: each layer samples fanout edges per FRONTIER
+        # node, and the frontier includes the previous layer's sources
+        # (seeds + their samples) — matches blk.senders.shape[0]
+        spe, frontier = 0, args.batch
+        for fo in args.fanouts:
+            spe += frontier * fo
+            frontier += frontier * fo
         samp_rate = args.epochs * nb * spe / wall
         print(f"scan epoch_time={wall / args.epochs:.3f}s "
               f"(1 dispatch/epoch) "

@@ -129,8 +129,12 @@ def sample_block(
     rows = table.neighbors[seeds]                     # [B, width]
     if table.neighbors.shape[0] < (1 << 24):
         oh = jax.nn.one_hot(slot, table.width, dtype=jnp.float32)
+        # precision=HIGHEST: the TPU MXU's default matmul precision
+        # truncates f32 inputs toward bf16, which would corrupt node ids
+        # above a few hundred — exactness requires full-precision passes
         nbrs = jnp.einsum(
-            "bkw,bw->bk", oh, rows.astype(jnp.float32)).astype(jnp.int32)
+            "bkw,bw->bk", oh, rows.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     else:  # pragma: no cover - >16M-node graphs
         nbrs = jnp.take_along_axis(rows, slot, axis=1)
     mask = jnp.broadcast_to((deg > 0)[:, None], (b, fanout))

@@ -73,7 +73,13 @@ class SAGEConv(MessagePassing):
             # fast path (ops/plan.py); for the default mean aggregation build
             # with build_mean_plan so 1/deg is baked into the weights
             out = plan.apply(x_pair[0])
-        elif block is not None and self.aggr in ("mean", "add", "sum", "max"):
+        elif (block is not None
+              and self.aggr in ("mean", "add", "sum", "max")
+              and block.senders.shape[0] % block.num_dst == 0):
+            # contract: a BipartiteBlock passed whole is sample_block
+            # output (regular layout); hand-built irregular blocks must be
+            # passed as explicit (senders, receivers) arrays instead.  The
+            # shape guard routes non-divisible blocks to the generic path.
             b = int(block.num_dst)
             fanout = block.senders.shape[0] // b
             nb = x_pair[0][b : b + b * fanout].reshape(b, fanout, -1)

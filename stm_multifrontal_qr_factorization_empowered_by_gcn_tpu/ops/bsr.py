@@ -255,8 +255,11 @@ def bsr_matmul_fused(
 
     if bsr_available() or interpret:
         return bsr_matmul_fused_pallas(m, x, alpha, interpret=interpret)
-    y = jnp.asarray(alpha, jnp.float32) * bsr_matmul_xla(m, x)
-    return y, jnp.sum(y * y)
+    # match the Pallas contract: out carries x.dtype (a dtype mismatch
+    # here breaks scan/fori carries on the fallback path), ss stays f32
+    y32 = jnp.asarray(alpha, jnp.float32) * bsr_matmul_xla(
+        m, x).astype(jnp.float32)
+    return y32.astype(x.dtype), jnp.sum(y32 * y32)
 
 
 @jax.custom_vjp

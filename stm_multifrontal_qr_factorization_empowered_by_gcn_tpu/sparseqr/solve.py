@@ -449,47 +449,52 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
     if F is None:
         F = factorize(A, keep_q=(method == "qmult"), **fact_kw)
 
-    def _switch_damped(F, A64, b):
+    def _switch_damped(Fh, A64, b):
         """Augmented-system fallback, cached on the handle so repeated
-        solves refactorize [A; lam*I] once (see QRFactorization.damped)."""
-        lam = float(F.tol if damp is None else damp)
+        solves refactorize [A; lam*I] once (see QRFactorization.damped).
+        Cache note: keyed on (lam, keep_q) only — the first damped call's
+        ``fact_kw`` options stick for the handle's lifetime."""
+        lam = float(Fh.tol if damp is None else damp)
         n = A64.shape[1]
         need_q = method == "qmult"
-        if (F.damped is not None and F.damped[0] == lam
-                and (not need_q or F.damped[2].keep_q)):
-            _, A_aug, F_aug = F.damped
+        if (Fh.damped is not None and Fh.damped[0] == lam
+                and (not need_q or Fh.damped[2].keep_q)):
+            _, A_aug, F_aug = Fh.damped
         else:
             A_aug = sp.vstack([A64, lam * sp.eye(n, format="csc")]).tocsc()
             F_aug = factorize(A_aug, keep_q=need_q, **fact_kw)
-            F.damped = (lam, A_aug, F_aug)
+            Fh.damped = (lam, A_aug, F_aug)
         b64 = np.asarray(b, np.float64)
         bb = np.concatenate([b64, np.zeros((n,) + b64.shape[1:])], axis=0)
         return F_aug, A_aug, bb.astype(np.asarray(b).dtype)
 
+    # the caller's handle is returned unchanged; the solve itself may run
+    # on the cached augmented factorization (F_s/A_s/b_s)
+    F_s, A_s, b_s = F, A64, b
     if F.rank < F.sym.n and (damp is None or damp > 0):
-        F, A64, b = _switch_damped(F, A64, b)
+        F_s, A_s, b_s = _switch_damped(F, A64, b)
     if method == "seminormal":
-        x = _seminormal_solve_once(F, A64, b)
+        x = _seminormal_solve_once(F_s, A_s, b_s)
     elif method == "qmult":
-        x = _qr_solve_once(F, b)
+        x = _qr_solve_once(F_s, b_s)
     else:
         raise ValueError("method must be 'qmult' or 'seminormal'")
     if not np.isfinite(np.asarray(x)).all() and (damp is None or damp > 0):
         # full-rank by the tolerance test, but diagonals barely above it
         # overflowed the working precision — same remedy as deficiency
-        F, A64, b = _switch_damped(F, A64, b)
-        x = (_seminormal_solve_once(F, A64, b) if method == "seminormal"
-             else _qr_solve_once(F, b))
+        F_s, A_s, b_s = _switch_damped(F_s, A_s, b_s)
+        x = (_seminormal_solve_once(F_s, A_s, b_s)
+             if method == "seminormal" else _qr_solve_once(F_s, b_s))
     if refine:
-        b64 = np.asarray(b, np.float64)
+        b64 = np.asarray(b_s, np.float64)
         for _ in range(refine):
             # least-squares refinement: minimize over the correction d of
             # ‖A d − r‖ with r = b − A x (reuses the same factorization)
-            r = b64 - A64 @ np.asarray(x, np.float64)
+            r = b64 - A_s @ np.asarray(x, np.float64)
             if method == "seminormal":
-                d = _seminormal_solve_once(F, A64, r)
+                d = _seminormal_solve_once(F_s, A_s, r)
             else:
-                d = _qr_solve_once(F, r.astype(np.float32))
+                d = _qr_solve_once(F_s, r.astype(np.float32))
             x = np.asarray(x, np.float64) + np.asarray(d, np.float64)
         return x, F  # keep the float64 accumulation (jnp would downcast)
     return jnp.asarray(x), F
