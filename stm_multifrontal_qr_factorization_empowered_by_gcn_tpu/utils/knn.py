@@ -150,8 +150,8 @@ def radius(
     if batch_src is not None and batch_dst is not None:
         same = batch_dst[:, None] == batch_src[None, :]
         d = jnp.where(same, d, jnp.inf)
-    neg_d, idx = jax.lax.top_k(-d, min(max_num_neighbors, x_src.shape[0]))
-    valid = (-neg_d) <= r * r
+    sd, idx = _smallest_k(d, min(max_num_neighbors, x_src.shape[0]))
+    valid = sd <= r * r
     k = idx.shape[1]
     receivers = jnp.repeat(jnp.arange(x_dst.shape[0], dtype=jnp.int32), k)
     return idx.reshape(-1).astype(jnp.int32), receivers, valid.reshape(-1)
@@ -168,8 +168,8 @@ def radius_graph(pos, r, batch=None, *, loop: bool = False,
         d = jnp.where(same, d, jnp.inf)
     if not loop:
         d = d + jnp.diag(jnp.full((n,), jnp.inf, d.dtype))
-    neg_d, idx = jax.lax.top_k(-d, min(max_num_neighbors, n))
-    valid = (-neg_d) <= r * r
+    sd, idx = _smallest_k(d, min(max_num_neighbors, n))
+    valid = sd <= r * r
     k = idx.shape[1]
     receivers = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     return idx.reshape(-1).astype(jnp.int32), receivers, valid.reshape(-1)
