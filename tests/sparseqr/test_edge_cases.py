@@ -120,3 +120,34 @@ def test_given_ordering_roundtrip():
                          method="seminormal", refine=1)
     x_ref = np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
     assert np.allclose(np.asarray(x), x_ref, atol=1e-3)
+
+
+def test_least_squares_returns_callers_handle():
+    """The damped fallback must not swap the caller's handle for the
+    augmented-system factorization (which masks rank deficiency and
+    describes [A; lam*I], not A) — and the cache must live on the
+    caller's handle so repeat solves skip the refactorization."""
+    import time
+
+    import numpy as np
+    import scipy.sparse as sp
+
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu import sparseqr
+
+    rng = np.random.default_rng(0)
+    n = 60
+    # rank-deficient: duplicate half the columns
+    B = rng.normal(size=(n, n // 2))
+    A = sp.csc_matrix(np.hstack([B, B]))
+    F = sparseqr.factorize(A)
+    assert F.rank < A.shape[1]
+    b = (A @ rng.normal(size=A.shape[1])).astype(np.float32)
+    x, F_out = sparseqr.least_squares(A, b, F=F, method="seminormal")
+    assert F_out is F, "caller's handle must be returned"
+    assert F_out.rank < A.shape[1], "rank info must describe A"
+    assert F.damped is not None, "damped cache populated on the handle"
+    cached = F.damped[2]
+    x2, _ = sparseqr.least_squares(A, b, F=F, method="seminormal")
+    assert F.damped[2] is cached, "repeat solve reuses the cached F_aug"
+    r = np.linalg.norm(A @ np.asarray(x, np.float64) - b) / np.linalg.norm(b)
+    assert r < 1e-3
