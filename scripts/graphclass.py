@@ -23,7 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="data/Classorder")
     ap.add_argument("--matrices-dir", default="data/matrices")
-    ap.add_argument("--ckpt-dir", default="models_ckpt")
+    ap.add_argument("--ckpt-dir", default="models_ckpt/graphclass")
     ap.add_argument("--epochs", type=int, default=5000)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-4)

@@ -48,7 +48,7 @@ def main():
                          "for best_params (0 = off)")
     ap.add_argument("--out", default=None,
                     help="final best-checkpoint path (default: "
-                         "<ckpt-dir>/../graphmodel_best.msgpack)")
+                         "<ckpt-dir>/graphmodel_best.msgpack)")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     args = ap.parse_args()
     if args.platform == "cpu":
@@ -152,7 +152,7 @@ def main():
             )
     import flax.serialization
 
-    out = args.out or osp.join(args.ckpt_dir, "..", "graphmodel_best.msgpack")
+    out = args.out or osp.join(args.ckpt_dir, "graphmodel_best.msgpack")
     with open(out, "wb") as f:
         f.write(flax.serialization.to_bytes({"params": best_params}))
     print(f"best val accuracy: {best_acc:.4f} -> {out}")

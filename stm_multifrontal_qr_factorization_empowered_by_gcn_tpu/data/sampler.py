@@ -85,6 +85,11 @@ class BipartiteBlock(NamedTuple):
     * ``senders``/``receivers`` — [E] *local* indices: senders into
       ``src_ids``, receivers into ``dst`` = first ``num_dst`` of ``src_ids``.
     * ``edge_mask`` — [E] False for slots past a node's true degree.
+    * ``regular_layout`` — True only for ``sample_block`` output, whose
+      edges follow the regular pattern ``senders = num_dst + arange(
+      num_dst*fanout)``, ``receivers = repeat(arange(num_dst), fanout)``.
+      Consumers (SAGEConv's reshape fast path) key on this flag; hand-built
+      irregular blocks must leave it False.
     """
 
     src_ids: jnp.ndarray
@@ -92,14 +97,17 @@ class BipartiteBlock(NamedTuple):
     receivers: jnp.ndarray
     edge_mask: jnp.ndarray
     num_dst: int
+    regular_layout: bool = False
 
 
-# num_dst is a static shape parameter — keep it out of the traced leaves so
-# `h[:blk.num_dst]` stays a static slice under jit
+# num_dst / regular_layout are static parameters — keep them out of the
+# traced leaves so `h[:blk.num_dst]` stays a static slice under jit
 jax.tree_util.register_pytree_node(
     BipartiteBlock,
-    lambda b: ((b.src_ids, b.senders, b.receivers, b.edge_mask), b.num_dst),
-    lambda aux, ch: BipartiteBlock(*ch, num_dst=aux),
+    lambda b: ((b.src_ids, b.senders, b.receivers, b.edge_mask),
+               (b.num_dst, b.regular_layout)),
+    lambda aux, ch: BipartiteBlock(
+        *ch, num_dst=aux[0], regular_layout=aux[1]),
 )
 
 
@@ -147,6 +155,7 @@ def sample_block(
         receivers=receivers,
         edge_mask=mask.reshape(-1),
         num_dst=b,
+        regular_layout=True,
     )
 
 

@@ -75,11 +75,11 @@ class SAGEConv(MessagePassing):
             out = plan.apply(x_pair[0])
         elif (block is not None
               and self.aggr in ("mean", "add", "sum", "max")
+              and getattr(block, "regular_layout", False)
               and block.senders.shape[0] % block.num_dst == 0):
-            # contract: a BipartiteBlock passed whole is sample_block
-            # output (regular layout); hand-built irregular blocks must be
-            # passed as explicit (senders, receivers) arrays instead.  The
-            # shape guard routes non-divisible blocks to the generic path.
+            # The reshape path is only valid for sample_block output
+            # (regular_layout=True); hand-built irregular blocks fall
+            # through to the generic scatter path below.
             b = int(block.num_dst)
             fanout = block.senders.shape[0] // b
             nb = x_pair[0][b : b + b * fanout].reshape(b, fanout, -1)

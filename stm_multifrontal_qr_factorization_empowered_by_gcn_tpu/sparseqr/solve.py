@@ -449,12 +449,13 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
     if F is None:
         F = factorize(A, keep_q=(method == "qmult"), **fact_kw)
 
-    def _switch_damped(Fh, A64, b):
+    def _switch_damped(Fh, A64, b, lam=None):
         """Augmented-system fallback, cached on the handle so repeated
         solves refactorize [A; lam*I] once (see QRFactorization.damped).
         Cache note: keyed on (lam, keep_q) only — the first damped call's
         ``fact_kw`` options stick for the handle's lifetime."""
-        lam = float(Fh.tol if damp is None else damp)
+        if lam is None:
+            lam = float(Fh.tol if damp is None else damp)
         n = A64.shape[1]
         need_q = method == "qmult"
         if (Fh.damped is not None and Fh.damped[0] == lam
@@ -471,8 +472,10 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
     # the caller's handle is returned unchanged; the solve itself may run
     # on the cached augmented factorization (F_s/A_s/b_s)
     F_s, A_s, b_s = F, A64, b
+    already_damped = False
     if F.rank < F.sym.n and (damp is None or damp > 0):
         F_s, A_s, b_s = _switch_damped(F, A64, b)
+        already_damped = True
     if method == "seminormal":
         x = _seminormal_solve_once(F_s, A_s, b_s)
     elif method == "qmult":
@@ -481,8 +484,13 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
         raise ValueError("method must be 'qmult' or 'seminormal'")
     if not np.isfinite(np.asarray(x)).all() and (damp is None or damp > 0):
         # full-rank by the tolerance test, but diagonals barely above it
-        # overflowed the working precision — same remedy as deficiency
-        F_s, A_s, b_s = _switch_damped(F_s, A_s, b_s)
+        # overflowed the working precision — same remedy as deficiency.
+        # Always re-damp from the ORIGINAL system and cache on the
+        # caller's handle; if the first damped solve itself overflowed,
+        # escalate lambda rather than double-augmenting [A; λI; λI].
+        lam0 = float(F.tol if damp is None else damp)
+        lam = lam0 * 1e3 if already_damped else None
+        F_s, A_s, b_s = _switch_damped(F, A64, b, lam=lam)
         x = (_seminormal_solve_once(F_s, A_s, b_s)
              if method == "seminormal" else _qr_solve_once(F_s, b_s))
     if refine:

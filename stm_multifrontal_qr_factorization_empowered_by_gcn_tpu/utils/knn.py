@@ -24,12 +24,12 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 - 2.0 * cross + b2, 0.0)
 
 
-# rows at least this wide take the iterative-argmin smallest-k path:
+# rows at least this wide take the two-stage chunked smallest-k path:
 # lax.top_k lowers to a full-width sorting network whose Mosaic compile
 # time explodes with row width (measured ~40 min at width 8192 in
-# benchmark/points.py edge_cnn), while k argmin sweeps compile in seconds
-# and run at HBM speed for the small k point-cloud layers use.
-_ITERATIVE_WIDTH = 4096
+# benchmark/points.py edge_cnn), while per-512-chunk top_k + merge
+# compiles in seconds and runs at HBM speed.
+_TWO_STAGE_WIDTH = 4096
 
 
 _CHUNK = 512
@@ -43,10 +43,15 @@ def _smallest_k(d: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     networks that compile fast) followed by a top-k merge over the
     ``nchunks*k`` candidates — any global k-smallest element is among its
     chunk's k smallest, and candidate order (chunk asc, rank asc) preserves
-    the lowest-index-first tie-break.
+    the lowest-index-first tie-break.  When the merge is itself wide it
+    recurses (candidate width shrinks by ≥2× per level for k ≤ 256), so
+    the full-width sorting network is never built for any k ≤ 256.
     """
     n, w = d.shape
-    if w < _ITERATIVE_WIDTH or k > 64:
+    # k > _CHUNK//2 cannot guarantee a shrinking recursion (nc*k could
+    # match w); such k on wide rows does not occur in the point-cloud
+    # layers this serves
+    if w < _TWO_STAGE_WIDTH or k > _CHUNK // 2:
         neg_v, idx = jax.lax.top_k(-d, k)
         return -neg_v, idx
     pad = (-w) % _CHUNK
@@ -58,7 +63,8 @@ def _smallest_k(d: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     offs = (jnp.arange(nc, dtype=jnp.int32) * _CHUNK)[None, :, None]
     cand_v = cv.reshape(n, nc * k)
     cand_i = (ci.astype(jnp.int32) + offs).reshape(n, nc * k)
-    v2, j = jax.lax.top_k(cand_v, k)                     # [n, k]
+    mv, j = _smallest_k(-cand_v, k)                      # [n, k] (recursive)
+    v2 = -mv
     idx = jnp.take_along_axis(cand_i, j, 1)
     # padding positions can only surface from all-inf tails; keep indices
     # in range (their distance stays +inf, which callers already treat as
