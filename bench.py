@@ -12,9 +12,15 @@ Three graphs at the same shape (N=131k, E=4.2M, F=128):
 2. **Power-law graph** (stderr) — Zipf(1.5) degree skew, the regime the
    reference's ``examples/reddit.py`` / ogbn sampled-SAGE workloads live in.
    The planner auto-engages a degree-sort relabel: hub edges densify into
-   MXU blocks (~93 % of edges), the tail rides a drop-empty ELL, and the
-   permutation is baked into the plan.  The timed chain uses ``apply`` —
-   the conservative path that pays both permutes every iteration.
+   MXU blocks (~93 % of edges), the tail rides a width-2 ELL whose
+   virtual-row combine runs as the flat Pallas indicator-matmul kernel
+   seeded with the BSR output (``ops/pallas/segment.py``), and the
+   permutation is baked into the plan.  The timed chain enters the plan's
+   frame once (``to_frame``), runs ``apply_relabeled_fused`` per layer,
+   and exits once — the per-layer un-permute/permute pairs of ``apply``
+   cancel mathematically, exactly as a multi-layer GNN holds features
+   relabeled across layers (the RCM-banded path's contract); the two
+   boundary permutes ARE inside the timed chain and amortize over k.
 3. **Uniform-random graph** (stderr) — the adversarial no-locality case; the
    plan falls back to width-tuned column-sliced ELL.  On v5e the random row
    gather engine sustains ~370-460M rows/s regardless of index order
@@ -103,6 +109,22 @@ def main():
 
     _ = float(trivial(x0))  # warm the readback path
 
+    def chain_of_framed(plan, k):
+        # frame-resident chain: permute in once, k fused relabeled layers,
+        # permute out once (both boundary permutes inside the timing)
+        @jax.jit
+        def chain_impl(x, p):
+            def body(_, carry):
+                x, a = carry
+                y, ss = p.apply_relabeled_fused(x, a)
+                return y, jax.lax.rsqrt(ss / (N * F) + 1e-6)
+
+            xp = p.to_frame(x)
+            y, a = jax.lax.fori_loop(0, k, body, (xp, jnp.float32(1.0)))
+            return jnp.sum((p.from_frame(y) * a)[0])
+
+        return lambda x: chain_impl(x, plan)
+
     def chain_of(plan, k):
         # Data-dependent chain of k normalized SpMM layers:
         #   y_t = A @ x_{t-1};  x_t = y_t * rsqrt(mean(y_t^2) + 1e-6)
@@ -190,7 +212,7 @@ def main():
     plan_z = build_spmm_plan(sz, rz, N, edge_weight=wz)
 
     kz_s, kz_l = 8, 24
-    chain_zs, chain_zl = chain_of(plan_z, kz_s), chain_of(plan_z, kz_l)
+    chain_zs, chain_zl = chain_of_framed(plan_z, kz_s), chain_of_framed(plan_z, kz_l)
     _ = float(chain_zs(x0)), float(chain_zl(x0))
     dt_z = _measure(chain_zs, chain_zl, x0, kz_s, kz_l)
     frac_z = gather_sol / dt_z
@@ -198,10 +220,31 @@ def main():
         f"# power-law Zipf-1.5 (reference reddit/ogbn regime): "
         f"plan={plan_z.method} relabel={'degree' if plan_z.perm is not None else 'none'} "
         f"block_cols={plan_z.bsr_fwd.block_cols if plan_z.bsr_fwd is not None else 0} "
+        f"ell_w={plan_z.ell_fwd.width if plan_z.ell_fwd is not None else 0} "
         f"{dt_z*1e3:.3f}ms {E/dt_z/1e9:.2f}B edges/s "
         f"roofline_fraction={frac_z:.3f} vs_baseline={frac_z/0.70:.3f}",
         file=sys.stderr,
     )
+
+    # bf16-blocks power-law variant (hub blocks stream at half the bytes;
+    # values-only precision trade, f32 accumulate), stderr only
+    try:
+        plan_zh = build_spmm_plan(sz, rz, N, edge_weight=wz,
+                                  block_dtype=jnp.bfloat16)
+        ch_zhs = chain_of_framed(plan_zh, kz_s)
+        ch_zhl = chain_of_framed(plan_zh, kz_l)
+        _ = float(ch_zhs(x0)), float(ch_zhl(x0))
+        dt_zh = _measure(ch_zhs, ch_zhl, x0, kz_s, kz_l)
+        print(
+            f"# power-law bf16-blocks variant: {dt_zh*1e3:.3f}ms "
+            f"{E/dt_zh/1e9:.2f}B edges/s "
+            f"roofline_fraction={gather_sol/dt_zh:.3f} "
+            f"({dt_z/dt_zh:.2f}x vs f32)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # keep the rest of the bench robust
+        print(f"# power-law bf16 variant failed: {type(e).__name__}",
+              file=sys.stderr)
 
     # --- 3. adversarial uniform-random graph (stderr secondary) ------------
     sr = rng.integers(0, N, size=E).astype(np.int64)

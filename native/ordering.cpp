@@ -710,23 +710,29 @@ int64_t cut_of(const WGraph& g, const vector<char>& part) {
 // on the best prefix — full-graph passes were 84 % of ND time.
 int64_t fm_pass(const WGraph& g, vector<char>& part, int64_t target0,
                 int64_t slack) {
-  vector<int64_t> gain(g.n, 0);
-  std::priority_queue<std::pair<int64_t, int32_t>> pq;
+  // two-phase init: one light edge scan marks boundary vertices, then
+  // gains are computed only for those — the interior pays no gain math,
+  // no heap pushes (the profile showed full-graph gain init dominating
+  // ND time even after the round-4 boundary-only heap change)
+  vector<char> boundary(g.n, 0);
   int64_t w0 = 0;
   for (int32_t v = 0; v < g.n; ++v) {
     if (part[v] == 0) w0 += g.vwt[v];
-    bool boundary = false;
-    for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p) {
+    for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p)
       if (part[g.idx[p]] != part[v]) {
-        gain[v] += g.ewt[p];
-        boundary = true;
-      } else {
-        gain[v] -= g.ewt[p];
+        boundary[v] = 1;
+        break;
       }
-    }
-    if (boundary) {
-      pq.push({gain[v], v});
-    }
+  }
+  vector<int64_t> gain(g.n, 0);
+  vector<char> hasg(g.n, 0);
+  std::priority_queue<std::pair<int64_t, int32_t>> pq;
+  for (int32_t v = 0; v < g.n; ++v) {
+    if (!boundary[v]) continue;
+    for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p)
+      gain[v] += part[g.idx[p]] != part[v] ? g.ewt[p] : -g.ewt[p];
+    hasg[v] = 1;
+    pq.push({gain[v], v});
   }
   const int32_t move_limit =
       std::max<int32_t>(64, (int32_t)std::min<int64_t>(g.n / 100 + 32, 512));
@@ -759,7 +765,17 @@ int64_t fm_pass(const WGraph& g, vector<char>& part, int64_t target0,
     for (int64_t p = g.ptr[v]; p < g.ptr[v + 1]; ++p) {
       int32_t u = g.idx[p];
       if (moved[u]) continue;
-      gain[u] += (part[u] == from) ? 2 * g.ewt[p] : -2 * g.ewt[p];
+      if (!hasg[u]) {
+        // interior vertex touched for the first time: compute its gain
+        // from the CURRENT part state (v's move already applied)
+        int64_t gu = 0;
+        for (int64_t pp = g.ptr[u]; pp < g.ptr[u + 1]; ++pp)
+          gu += part[g.idx[pp]] != part[u] ? g.ewt[pp] : -g.ewt[pp];
+        gain[u] = gu;
+        hasg[u] = 1;
+      } else {
+        gain[u] += (part[u] == from) ? 2 * g.ewt[p] : -2 * g.ewt[p];
+      }
       pq.push({gain[u], u});
     }
     gain[v] = -gain[v];
@@ -839,7 +855,9 @@ vector<char> multilevel_bisect(const WGraph& g0, double frac = 0.5) {
     vector<char> fpart(fine.n);
     for (int32_t v = 0; v < fine.n; ++v) fpart[v] = part[cmap[v]];
     int64_t fslack = std::max<int64_t>(fine.total_vwt / 20, 1);
-    fm_refine(fine, fpart, target0, fslack, 6);
+    // 3 passes per level (METIS-style few-iteration refinement; measured
+    // cut parity with 6 on the sweep matrices at ~2x less FM time)
+    fm_refine(fine, fpart, target0, fslack, 3);
     part = std::move(fpart);
   }
   return part;
@@ -909,12 +927,14 @@ void separator_from_cut(const WGraph& g, const vector<char>& part,
 // separator ordered last, min-degree on small leaves.
 // ---------------------------------------------------------------------------
 void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
-                vector<int32_t>& out) {
+                vector<int32_t>& out, vector<int32_t>& local) {
+  // `local` is a shared size-n workspace (all -1 between calls) — the
+  // recursion tree has O(n/leaf) calls and per-call O(n) allocation+init
+  // was a measurable share of ND time on small matrices
   const int32_t m = (int32_t)nodes.size();
   if (m == 0) return;
   if (m <= leaf_size) {
     // min-degree on the induced subgraph
-    vector<int32_t> local(a.n, -1);
     for (int32_t i = 0; i < m; ++i) local[nodes[i]] = i;
     vector<int32_t> src, dst;
     for (int32_t i = 0; i < m; ++i) {
@@ -924,6 +944,7 @@ void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
         if (local[u] >= 0) { src.push_back(i); dst.push_back(local[u]); }
       }
     }
+    for (int32_t i = 0; i < m; ++i) local[nodes[i]] = -1;
     Adj sub = build_adj(m, (int64_t)src.size(), src.data(), dst.data(), false);
     MDResult r = min_degree(sub, nullptr);
     for (int32_t i = 0; i < m; ++i) out.push_back(nodes[r.perm[i]]);
@@ -931,8 +952,8 @@ void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
   }
   // multilevel edge bisection of the induced subgraph, then a vertex
   // separator from the cut (greedy min cover)
-  vector<int32_t> local(a.n, -1);
   WGraph sub = induced_wgraph(a, nodes, local);
+  for (int32_t i = 0; i < m; ++i) local[nodes[i]] = -1;
   vector<char> part = multilevel_bisect(sub);
   vector<char> in_sep;
   separator_from_cut(sub, part, in_sep);
@@ -944,10 +965,7 @@ void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
   }
   if (left.empty() || right.empty()) {
     // bisection failed (clique-ish): fall back to min-degree on the part
-    vector<int32_t> all = nodes;
-    int32_t save = leaf_size;
-    (void)save;
-    vector<int32_t> local(a.n, -1);
+    vector<int32_t>& all = nodes;
     for (size_t i = 0; i < all.size(); ++i) local[all[i]] = (int32_t)i;
     vector<int32_t> src, dst;
     for (size_t i = 0; i < all.size(); ++i) {
@@ -958,14 +976,15 @@ void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
           dst.push_back(local[a.idx[p]]);
         }
     }
+    for (size_t i = 0; i < all.size(); ++i) local[all[i]] = -1;
     Adj sub = build_adj((int32_t)all.size(), (int64_t)src.size(), src.data(),
                         dst.data(), false);
     MDResult r = min_degree(sub, nullptr);
     for (size_t i = 0; i < all.size(); ++i) out.push_back(all[r.perm[i]]);
     return;
   }
-  nd_recurse(a, left, leaf_size, out);
-  nd_recurse(a, right, leaf_size, out);
+  nd_recurse(a, left, leaf_size, out, local);
+  nd_recurse(a, right, leaf_size, out, local);
   for (int32_t v : sep) out.push_back(v);  // separator eliminated last
 }
 
@@ -1053,7 +1072,8 @@ int stm_order(int32_t n, int64_t nnz, const int32_t* src, const int32_t* dst,
     vector<int32_t> out;
     out.reserve(n);
     int32_t leaf = method == 2 ? std::max(64, n / 128) : std::max(16, n / 1024);
-    nd_recurse(a, nodes, leaf, out);
+    vector<int32_t> local(n, -1);
+    nd_recurse(a, nodes, leaf, out, local);
     std::memcpy(perm_out, out.data(), sizeof(int32_t) * n);
   } else {
     return 1;

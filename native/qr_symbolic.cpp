@@ -81,6 +81,85 @@ int stm_col_etree_post(int32_t m, int32_t n, const int64_t* Cp,
   return 0;
 }
 
+// Column counts of R (= the Cholesky factor of S'S) for POSTORDERED S —
+// the Gilbert–Ng–Peyton skeleton/leaf-counting algorithm in its A'A form
+// (each S row is a clique whose row subtree is counted by its leaves; LCA
+// overlap removal via a path-halving union-find).  O(nnz · α).  This is
+// the cheap per-ordering fill/flop metric the brute-force selection uses
+// (the reference computes per-method lnz the same one-pass way inside
+// SparseChol_analyze_p2, SparseChol_analyze.c:429-613, instead of running
+// the full supernodal analysis per candidate).
+//
+// Inputs: CSC of S (Sp (n+1) int64, Si row ids), postordered etree parent
+// (labels ARE the postorder: parent[j] > j).  Output counts[j] = |C_j|.
+int stm_qr_col_counts(int32_t m, int32_t n, const int64_t* Sp,
+                      const int32_t* Si, const int32_t* parent,
+                      int64_t* counts) {
+  if (m < 0 || n < 0) return 1;
+  std::vector<int32_t> first(n, -1);
+  std::vector<int64_t> delta(n, 0);
+  for (int32_t j = 0; j < n; ++j) {
+    if (first[j] == -1) {
+      delta[j] = 1;  // etree leaf: its own pivot starts a new path
+      for (int32_t q = j; q != -1 && first[q] == -1; q = parent[q])
+        first[q] = j;
+    }
+  }
+  // rows of S grouped by leftmost column (each clique processed once,
+  // at its leftmost pivot); build from CSC by ascending-column sweep
+  std::vector<int32_t> leftmost(m, -1), rhead(n, -1), rnext(m, -1);
+  for (int32_t j = 0; j < n; ++j)
+    for (int64_t p = Sp[j]; p < Sp[j + 1]; ++p)
+      if (leftmost[Si[p]] == -1) leftmost[Si[p]] = j;
+  for (int32_t r = m - 1; r >= 0; --r)
+    if (leftmost[r] != -1) {
+      rnext[r] = rhead[leftmost[r]];
+      rhead[leftmost[r]] = r;
+    }
+  // CSR offsets of S (row entry lists for the clique sweep)
+  std::vector<int64_t> Rp(m + 1, 0);
+  for (int32_t j = 0; j < n; ++j)
+    for (int64_t p = Sp[j]; p < Sp[j + 1]; ++p) Rp[Si[p] + 1]++;
+  for (int32_t r = 0; r < m; ++r) Rp[r + 1] += Rp[r];
+  std::vector<int32_t> Rj(Rp[m]);
+  {
+    std::vector<int64_t> w(Rp.begin(), Rp.end() - 1);
+    for (int32_t j = 0; j < n; ++j)
+      for (int64_t p = Sp[j]; p < Sp[j + 1]; ++p) Rj[w[Si[p]]++] = j;
+  }
+  // union-find over columns with path halving
+  std::vector<int32_t> anc(n);
+  for (int32_t j = 0; j < n; ++j) anc[j] = j;
+  auto find = [&](int32_t x) {
+    while (anc[x] != x) {
+      anc[x] = anc[anc[x]];
+      x = anc[x];
+    }
+    return x;
+  };
+  std::vector<int32_t> maxfirst(n, -1), prevleaf(n, -1);
+  for (int32_t j = 0; j < n; ++j) {
+    if (parent[j] != -1) delta[parent[j]] -= 1;  // pivot j stops at parent
+    for (int32_t r = rhead[j]; r != -1; r = rnext[r]) {
+      for (int64_t p = Rp[r]; p < Rp[r + 1]; ++p) {
+        int32_t i = Rj[p];           // subtree owner: the OTHER column
+        if (i <= j) continue;        // strict lower part of S'S only
+        if (first[j] > maxfirst[i]) {  // j is a new leaf of T_i
+          maxfirst[i] = first[j];
+          delta[j] += 1;
+          if (prevleaf[i] != -1) delta[find(prevleaf[i])] -= 1;
+          prevleaf[i] = j;
+        }
+      }
+    }
+    if (parent[j] != -1) anc[j] = parent[j];
+  }
+  for (int32_t j = 0; j < n; ++j) counts[j] = delta[j];
+  for (int32_t j = 0; j < n; ++j)
+    if (parent[j] != -1) counts[parent[j]] += counts[j];
+  return 0;
+}
+
 // Supernodal front construction on the POSTORDERED S.
 //
 // Inputs: CSR of S (Rp (m+1) int64, Rj col ids, postordered labels),

@@ -282,6 +282,23 @@ def col_etree_post(Cp, Ci, m: int, n: int):
     return parent.astype(np.int64), post.astype(np.int64)
 
 
+def qr_col_counts(Sp, Si, parent, m: int, n: int) -> np.ndarray:
+    """Column counts of R (GNP skeleton counts, AᵀA form) for the
+    POSTORDERED S — the cheap per-ordering fill metric (``counts[j] =
+    |C_j|``; lnz = counts.sum(), flop proxy = (counts**2).sum())."""
+    lib = _load()
+    Sp = np.ascontiguousarray(Sp, np.int64)
+    Si = _as_i32(Si)
+    par = _as_i32(parent)
+    counts = np.empty(n, np.int64)
+    rc = lib.stm_qr_col_counts(
+        m, n, Sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _ptr(Si),
+        _ptr(par), counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise ValueError("stm_qr_col_counts failed")
+    return counts
+
+
 def qr_fronts(Rp, Rj, parent, m: int, n: int,
               nrelax: int = 4, zrelax: float = 0.25):
     """Supernodal QR front construction (native) on the postordered S.

@@ -51,6 +51,12 @@ class EllGraph(NamedTuple):
     * ``num_nodes``    — static N (output rows).
     * ``needs_combine``— static; False when virtual rows == nodes exactly
       (identity ``rows``), letting :func:`spmm_ell` skip the combine.
+    * ``step_w``/``step_c`` — optional flat-grid metadata for the Pallas
+      sorted-combine kernel (``ops/pallas/segment.combine_sorted_flat_pallas``);
+      built by ``ell_from_coo(combine_kernel=True)``.  When present (and the
+      feature width is MXU-shaped) the virtual-row combine runs as indicator
+      matmuls instead of the XLA scatter path — the scatter costs ~1-2 ms at
+      the power-law-tail scale while the kernel runs in ~0.2-0.4 ms.
     """
 
     senders: jnp.ndarray
@@ -58,6 +64,8 @@ class EllGraph(NamedTuple):
     rows: jnp.ndarray
     num_nodes: int
     needs_combine: bool
+    step_w: Optional[jnp.ndarray] = None
+    step_c: Optional[jnp.ndarray] = None
 
     @property
     def num_virtual_rows(self) -> int:
@@ -70,11 +78,17 @@ class EllGraph(NamedTuple):
 
 # register static fields as aux data so EllGraph traces cleanly under jit
 def _ell_flatten(g: EllGraph):
-    return (g.senders, g.weights, g.rows), (g.num_nodes, g.needs_combine)
+    return (
+        (g.senders, g.weights, g.rows, g.step_w, g.step_c),
+        (g.num_nodes, g.needs_combine),
+    )
 
 
 def _ell_unflatten(aux, children):
-    return EllGraph(*children, num_nodes=aux[0], needs_combine=aux[1])
+    return EllGraph(
+        *children[:3], num_nodes=aux[0], needs_combine=aux[1],
+        step_w=children[3], step_c=children[4],
+    )
 
 
 jax.tree_util.register_pytree_node(EllGraph, _ell_flatten, _ell_unflatten)
@@ -91,6 +105,7 @@ def ell_from_coo(
     min_rows: int = 0,
     force_combine: bool = False,
     drop_empty: Optional[bool] = None,
+    combine_kernel: bool = False,
 ) -> EllGraph:
     """Host-side COO → ELL conversion (one-time per graph, like the
     reference's ``ToSparseTensor`` transform).
@@ -104,6 +119,9 @@ def ell_from_coo(
     of nodes are empty, the hybrid-plan residual case, where keeping them
     would more than double the gathered slots; kept otherwise so the
     combine-free identity-rows fast path stays available).
+    ``combine_kernel`` pads the virtual-row count to the Pallas combine
+    kernel's chunk multiple and attaches its flat-grid step metadata (see
+    :class:`EllGraph`).
     """
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)
@@ -124,6 +142,10 @@ def ell_from_coo(
     if not drop_empty:
         vrows_per_node = np.maximum(vrows_per_node, 1)
     v = int(vrows_per_node.sum())
+    if combine_kernel:
+        from .pallas.segment import CHUNK as _CCHUNK
+
+        row_multiple = max(row_multiple, _CCHUNK)
     v_pad = int(-(-max(v, 1, min_rows) // row_multiple) * row_multiple)
 
     ell_s = np.zeros((v_pad, width), np.int32)
@@ -148,12 +170,20 @@ def ell_from_coo(
     needs_combine = force_combine or not (
         v_pad == num_nodes and np.array_equal(rows[:v], np.arange(num_nodes))
     )
+    step_w = step_c = None
+    if combine_kernel and needs_combine:
+        from .pallas.segment import combine_steps_host
+
+        sw, sc = combine_steps_host(rows, num_nodes)
+        step_w, step_c = jnp.asarray(sw), jnp.asarray(sc)
     return EllGraph(
         senders=jnp.asarray(np.ascontiguousarray(ell_s.T)),
         weights=jnp.asarray(np.ascontiguousarray(ell_w.T)),
         rows=jnp.asarray(rows),
         num_nodes=num_nodes,
         needs_combine=needs_combine,
+        step_w=step_w,
+        step_c=step_c,
     )
 
 
@@ -199,9 +229,29 @@ def _ell_gather_sum(x: jnp.ndarray, ell: EllGraph) -> jnp.ndarray:
     return acc.astype(x.dtype)
 
 
+def _combine_kernel_ok(part: jnp.ndarray, ell: EllGraph, aggr: str) -> bool:
+    from .pallas.segment import CHUNK, pallas_available
+
+    return (
+        ell.step_w is not None
+        and aggr in ("add", "sum", "mean")
+        and part.ndim == 2
+        and part.shape[0] % CHUNK == 0
+        and part.shape[1] % 128 == 0
+        and part.dtype == jnp.float32
+        and pallas_available()
+    )
+
+
 def _combine(part: jnp.ndarray, ell: EllGraph, aggr: str) -> jnp.ndarray:
     if not ell.needs_combine:
         return part
+    if _combine_kernel_ok(part, ell, aggr):
+        from .pallas.segment import combine_sorted_flat_pallas
+
+        return combine_sorted_flat_pallas(
+            part, ell.rows, ell.step_w, ell.step_c, ell.num_nodes
+        )
     from .segment import aggregate
 
     return aggregate(

@@ -143,6 +143,66 @@ class SpmmPlan(NamedTuple):
             out = jnp.zeros_like(x)
         return permute_rows(out, self.inv_perm, self.perm)
 
+    def to_frame(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Relabel ``x`` into the plan's internal node labeling (identity
+        when no permutation is baked in).  Chained layers sharing a plan
+        should enter the frame once, run :meth:`apply_relabeled` /
+        :meth:`apply_relabeled_fused` per layer, and :meth:`from_frame` once
+        at the end — adjacent ``apply`` calls' un-permute/permute pairs
+        cancel mathematically, so paying them per layer is pure waste
+        (measured 1.4 ms/layer of chained-gather cost at the N=131k bench
+        shape)."""
+        if self.perm is None:
+            return x
+        return permute_rows(x, self.perm, self.inv_perm)
+
+    def from_frame(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of :meth:`to_frame`."""
+        if self.perm is None:
+            return x
+        return permute_rows(x, self.inv_perm, self.perm)
+
+    def apply_relabeled_fused(self, x: jnp.ndarray, alpha) -> tuple:
+        """Frame-local fused epilogue: ``(alpha * (A @ x), sum(out**2))``.
+
+        * pure-BSR plans ride the BSR kernel's resident-window epilogue;
+        * hybrid plans fold ``bsr_out + tail_combine`` **and** the epilogue
+          into the flat sorted-combine kernel (``init=`` seeds the output
+          window with the BSR part — the separate add/scale/sum passes cost
+          ~3 feature-matrix HBM passes otherwise);
+        * other shapes fall back to ``apply_relabeled`` + XLA elementwise.
+        """
+        from .ell import _combine_kernel_ok, _ell_gather_sum
+
+        if (
+            self.method == "hybrid"
+            and self.bsr_fwd is not None
+            and self.ell_fwd is not None
+            and self.bsr_fwd.num_rows == self.num_nodes
+        ):
+            part = _ell_gather_sum(x, self.ell_fwd)
+            if _combine_kernel_ok(part, self.ell_fwd, "add"):
+                from .bsr import bsr_matmul
+                from .pallas.segment import combine_sorted_flat_pallas
+
+                y = bsr_matmul(self.bsr_fwd, x)
+                out, ss = combine_sorted_flat_pallas(
+                    part, self.ell_fwd.rows, self.ell_fwd.step_w,
+                    self.ell_fwd.step_c, self.num_nodes,
+                    init=y, alpha=alpha,
+                )
+                return out.astype(x.dtype), ss
+        if (
+            self.method == "bsr"
+            and self.bsr_fwd is not None
+            and self.bsr_fwd.num_rows == self.num_nodes
+        ):
+            from .bsr import bsr_matmul_fused
+
+            return bsr_matmul_fused(self.bsr_fwd, x, alpha)
+        y = jnp.asarray(alpha, x.dtype) * self.apply_relabeled(x)
+        return y, jnp.sum(y * y)
+
     def apply_fused(self, x: jnp.ndarray, alpha) -> tuple:
         """Forward-only fused epilogue: ``(alpha * (A @ x), sum(out**2))``.
 
@@ -151,19 +211,14 @@ class SpmmPlan(NamedTuple):
         restated so the scale rides the NEXT SpMM's MXU accumulate and the
         sum-of-squares is reduced from the kernel's resident output window —
         on the pure-BSR path this costs zero extra HBM passes (the unfused
-        form pays ~3 full feature-matrix passes per layer). Other plan
-        shapes fall back to ``apply`` + XLA elementwise (same values)."""
-        if (
-            self.method == "bsr"
-            and self.perm is None
-            and self.bsr_fwd is not None
-            and self.bsr_fwd.num_rows == self.num_nodes
-        ):
-            from .bsr import bsr_matmul_fused
-
-            return bsr_matmul_fused(self.bsr_fwd, x, alpha)
-        y = jnp.asarray(alpha, x.dtype) * self.apply(x)
-        return y, jnp.sum(y * y)
+        form pays ~3 full feature-matrix passes per layer).  Plans with a
+        baked permutation pay both permutes here — chained callers should
+        use :meth:`to_frame` + :meth:`apply_relabeled_fused` instead."""
+        if self.perm is None:
+            return self.apply_relabeled_fused(x, alpha)
+        y, ss = self.apply_relabeled_fused(
+            permute_rows(x, self.perm, self.inv_perm), alpha)
+        return permute_rows(y, self.inv_perm, self.perm), ss
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.apply(x)
@@ -189,27 +244,33 @@ jax.tree_util.register_pytree_node(SpmmPlan, _plan_flatten, _plan_unflatten)
 
 
 def pick_ell_width(
-    receivers: np.ndarray, num_nodes: int, candidates=(4, 8, 16, 32, 64)
+    receivers: np.ndarray, num_nodes: int, candidates=(4, 8, 16, 32, 64),
+    *, combine_overhead: float = 2.0,
 ) -> int:
     """Width minimizing estimated HBM cost: gathered slots (the v5e gather
     engine is row-bound at ~370-460M rows/s, benchmark/ell_decompose.py)
-    plus ~2 row-equivalents of virtual-row combine + accumulate overhead
-    per virtual row (calibrated on the N=131k/E=4.2M bench shape, where
-    this model correctly ranks w16 < w8 < w32 < w64)."""
+    plus ``combine_overhead`` row-equivalents of virtual-row combine +
+    accumulate overhead per virtual row.  The default 2.0 is calibrated for
+    the XLA scatter combine (on the N=131k/E=4.2M bench shape it correctly
+    ranks w16 < w8 < w32 < w64); the Pallas sorted-combine kernel costs
+    ~0.5 row-equivalents, which shifts the optimum toward narrower widths
+    (fewer padded gather slots)."""
     deg = np.bincount(np.asarray(receivers, np.int64), minlength=num_nodes)
     deg = deg[deg > 0]  # zero-degree rows are dropped by the builder
     best_w, best_cost = candidates[0], np.inf
     for w in candidates:
         vrows = -(-deg // w)
-        cost = float(vrows.sum()) * (w + 2.0)
+        cost = float(vrows.sum()) * (w + combine_overhead)
         if cost < best_cost:
             best_w, best_cost = w, cost
     return best_w
 
 
-def _build_ell_pair(s, r, n, w, width):
-    fwd = ell_from_coo(s, r, n, edge_weight=w, width=width)
-    bwd = ell_from_coo(r, s, n, edge_weight=w, width=width)
+def _build_ell_pair(s, r, n, w, width, combine_kernel=False):
+    fwd = ell_from_coo(
+        s, r, n, edge_weight=w, width=width, combine_kernel=combine_kernel)
+    bwd = ell_from_coo(
+        r, s, n, edge_weight=w, width=width, combine_kernel=combine_kernel)
     return fwd, bwd
 
 
@@ -383,9 +444,17 @@ def build_spmm_plan(
                 edge_weight=w[keep], min_edges_per_block=1, dtype=block_dtype,
                 block_cols=bc,
             )
-            width = ell_width or pick_ell_width(receivers[lo_f], num_nodes)
+            from .pallas.segment import pallas_available
+
+            ck = pallas_available()
+            width = ell_width or pick_ell_width(
+                receivers[lo_f], num_nodes,
+                candidates=(1, 2, 4, 8, 16, 32, 64) if ck else (4, 8, 16, 32, 64),
+                combine_overhead=0.5 if ck else 2.0,
+            )
             ell_fwd, ell_bwd = _build_ell_pair(
-                senders[lo_f], receivers[lo_f], num_nodes, w[lo_f], width
+                senders[lo_f], receivers[lo_f], num_nodes, w[lo_f], width,
+                combine_kernel=True,
             )
             if perm is not None:
                 # mixed-frame residual pair for the original-frame apply():
@@ -394,15 +463,16 @@ def build_spmm_plan(
                 # by permuted receiver id, combines into original sender ids
                 ell_fwd_orig = ell_from_coo(
                     senders_orig[lo_f], receivers[lo_f], num_nodes,
-                    edge_weight=w[lo_f], width=width,
+                    edge_weight=w[lo_f], width=width, combine_kernel=True,
                 )
                 ell_bwd_orig = ell_from_coo(
                     receivers[lo_f], senders_orig[lo_f], num_nodes,
-                    edge_weight=w[lo_f], width=width,
+                    edge_weight=w[lo_f], width=width, combine_kernel=True,
                 )
     if method == "ell":
         width = ell_width or pick_ell_width(receivers, num_nodes)
-        ell_fwd, ell_bwd = _build_ell_pair(senders, receivers, num_nodes, w, width)
+        ell_fwd, ell_bwd = _build_ell_pair(
+            senders, receivers, num_nodes, w, width, combine_kernel=True)
 
     return SpmmPlan(
         bsr_fwd=bsr_fwd, bsr_bwd=bsr_bwd, ell_fwd=ell_fwd, ell_bwd=ell_bwd,

@@ -48,3 +48,79 @@ def test_spmm_coo_sorted_pallas_interpret(rng):
         edge_weight=jnp.asarray(w), interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+# --- flat-grid sorted combine (round-5 power-law tail kernel) --------------
+
+from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.pallas.segment import (  # noqa: E402
+    combine_sorted_flat_pallas,
+    combine_steps_host,
+)
+
+
+def _flat_case(rng, n, v, f, skew=False):
+    if skew:
+        rows = np.concatenate([
+            np.zeros(v // 2, np.int32),
+            np.sort(rng.integers(1, n, v - v // 2)).astype(np.int32),
+        ])
+    else:
+        rows = np.sort(rng.integers(0, n, v)).astype(np.int32)
+    part = rng.normal(size=(v, f)).astype(np.float32)
+    sw, sc = combine_steps_host(rows, n)
+    return rows, part, jnp.asarray(sw), jnp.asarray(sc)
+
+
+@pytest.mark.parametrize("n,v,f,skew", [
+    (300, CHUNK, 128, False),
+    (1000, 3 * CHUNK, 128, False),
+    (300, 2 * CHUNK, 128, True),
+])
+def test_combine_flat_interpret(rng, n, v, f, skew):
+    rows, part, sw, sc = _flat_case(rng, n, v, f, skew)
+    ref = jax.ops.segment_sum(jnp.asarray(part), jnp.asarray(rows), n)
+    out = combine_sorted_flat_pallas(
+        jnp.asarray(part), jnp.asarray(rows), sw, sc, n, interpret=True)
+    # two-pass bf16 split carries ~2^-17 relative residue over long hub
+    # runs (see kernel header) -- an order below the MXU default-precision
+    # f32 noise of the BSR blocks this combine feeds
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=5e-4)
+
+
+def test_combine_flat_init_and_alpha_interpret(rng):
+    n, v, f = 500, 2 * CHUNK, 128
+    rows, part, sw, sc = _flat_case(rng, n, v, f)
+    init = rng.normal(size=(n, f)).astype(np.float32)
+    ref = init + np.asarray(
+        jax.ops.segment_sum(jnp.asarray(part), jnp.asarray(rows), n))
+    out = combine_sorted_flat_pallas(
+        jnp.asarray(part), jnp.asarray(rows), sw, sc, n,
+        init=jnp.asarray(init), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
+
+    alpha = 0.37
+    out2, ss = combine_sorted_flat_pallas(
+        jnp.asarray(part), jnp.asarray(rows), sw, sc, n,
+        init=jnp.asarray(init), alpha=alpha, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), alpha * ref,
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        float(ss), float((alpha * ref) ** 2).sum() if np.isscalar(ref)
+        else float(((alpha * ref) ** 2).sum()), rtol=1e-4)
+
+
+def test_combine_flat_empty_windows_interpret(rng):
+    # windows with no virtual rows must still be initialized (init passes
+    # through; zeros otherwise) — the BSR-pad analog
+    n, v, f = 1024, CHUNK, 128
+    rows = np.sort(rng.integers(512, 640, v)).astype(np.int32)  # 1 window hot
+    part = rng.normal(size=(v, f)).astype(np.float32)
+    sw, sc = combine_steps_host(rows, n)
+    init = rng.normal(size=(n, f)).astype(np.float32)
+    ref = init + np.asarray(
+        jax.ops.segment_sum(jnp.asarray(part), jnp.asarray(rows), n))
+    out = combine_sorted_flat_pallas(
+        jnp.asarray(part), jnp.asarray(rows), sw, sc, n,
+        init=jnp.asarray(init), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
