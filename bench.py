@@ -109,9 +109,23 @@ def main():
 
     _ = float(trivial(x0))  # warm the readback path
 
+    @jax.jit
+    def _enter_frame(x, p):
+        return p.to_frame(x)
+
+    @jax.jit
+    def _exit_frame(y, a, p):
+        return jnp.sum((p.from_frame(y) * a)[0])
+
     def chain_of_framed(plan, k):
         # frame-resident chain: permute in once, k fused relabeled layers,
-        # permute out once (both boundary permutes inside the timing)
+        # permute out once.  The three stages are SEPARATE XLA programs:
+        # compiling the boundary permutes into the loop program makes the
+        # loop carry inherit the gather's layout and every iteration pays
+        # for it (measured 3.1 -> 6.9 ms/iter) — program boundaries
+        # materialize default layouts.  Both permutes still run inside the
+        # timed call; as k-independent constants they cancel in the chain
+        # differencing exactly like the dispatch constants do.
         @jax.jit
         def chain_impl(x, p):
             def body(_, carry):
@@ -119,11 +133,13 @@ def main():
                 y, ss = p.apply_relabeled_fused(x, a)
                 return y, jax.lax.rsqrt(ss / (N * F) + 1e-6)
 
-            xp = p.to_frame(x)
-            y, a = jax.lax.fori_loop(0, k, body, (xp, jnp.float32(1.0)))
-            return jnp.sum((p.from_frame(y) * a)[0])
+            return jax.lax.fori_loop(0, k, body, (x, jnp.float32(1.0)))
 
-        return lambda x: chain_impl(x, plan)
+        def run(x):
+            y, a = chain_impl(_enter_frame(x, plan), plan)
+            return _exit_frame(y, a, plan)
+
+        return run
 
     def chain_of(plan, k):
         # Data-dependent chain of k normalized SpMM layers:

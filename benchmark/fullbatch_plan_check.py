@@ -75,7 +75,10 @@ def main():
 
     params = model.init(jax.random.key(0), xj, sj, rj)
 
-    def make_scan(k, with_plan):
+    def make_scan(k, with_plan, ybuf=None, tbuf=None):
+        yk = yj if ybuf is None else ybuf
+        tk = tm if tbuf is None else tbuf
+
         @jax.jit
         def run(p, h, s, r, pl):
             o = tx.init(p)
@@ -83,8 +86,8 @@ def main():
             def loss(p):
                 logp = model.apply(p, h, s, r,
                                    plan=pl if with_plan else None)
-                nll = -jnp.take_along_axis(logp, yj[:, None], 1)[:, 0]
-                return jnp.sum(nll * tm) / jnp.sum(tm)
+                nll = -jnp.take_along_axis(logp, yk[:, None], 1)[:, 0]
+                return jnp.sum(nll * tk) / jnp.sum(tk)
 
             def body(carry, _):
                 p, o = carry
@@ -105,30 +108,48 @@ def main():
         # the value is
         return tuple(float(o) for o in out)
 
-    for label, wp in (("off", False), ("on", True)):
-        rs = make_scan(args.k_short, wp)
-        rl = make_scan(args.k_long, wp)
+    # frame-resident variant: node-indexed inputs relabeled ONCE into the
+    # plan's degree-sorted frame (features, labels, train mask — all
+    # permutation-equivariant), then every epoch runs permute-free.  This
+    # is the deployment recipe for chained full-batch training on a
+    # relabeling plan; `plan-on` keeps the per-layer permutes for
+    # comparison.
+    if plan.perm is not None:
+        framed_inputs = (xj[plan.perm], yj[plan.perm], tm[plan.perm])
+        plan_framed = plan._replace(perm=None, inv_perm=None)
+    else:
+        framed_inputs = (xj, yj, tm)
+        plan_framed = plan
+
+    def run_mode(label, wp, inputs, pl, ybuf, tbuf):
+        rs = make_scan(args.k_short, wp, ybuf, tbuf)
+        rl = make_scan(args.k_long, wp, ybuf, tbuf)
         t0 = time.time()
-        sync(rs(params, xj, sj, rj, plan))
+        sync(rs(params, inputs, sj, rj, pl))
         t1 = time.time()
-        sync(rl(params, xj, sj, rj, plan))
+        sync(rl(params, inputs, sj, rj, pl))
         t_compile = (t1 - t0, time.time() - t1)
 
         def best(fn, reps=3):
             ts = []
             for _ in range(reps):
                 t0 = time.time()
-                sync(fn(params, xj, sj, rj, plan))
+                sync(fn(params, inputs, sj, rj, pl))
                 ts.append(time.time() - t0)
             return min(ts)
 
         ts_, tl_ = best(rs), best(rl)
         dt = (tl_ - ts_) / (args.k_long - args.k_short)
-        last = sync(rl(params, xj, sj, rj, plan))
+        last = sync(rl(params, inputs, sj, rj, pl))
         print(f"plan-{label}: {dt*1e3:.2f}ms/epoch "
               f"(short {ts_*1e3:.1f}ms long {tl_*1e3:.1f}ms, "
               f"compiles {t_compile[0]:.0f}s/{t_compile[1]:.0f}s) "
               f"loss={last[0]:.4f}", flush=True)
+
+    run_mode("off", False, xj, plan, yj, tm)
+    run_mode("on", True, xj, plan, yj, tm)
+    run_mode("framed", True, framed_inputs[0], plan_framed,
+             framed_inputs[1], framed_inputs[2])
 
 
 if __name__ == "__main__":

@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.3)
     ap.add_argument("--weight-decay", type=float, default=5e-5)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--loss", default="nll", choices=["nll", "regret"])
+    ap.add_argument("--loss", default="nll", choices=["nll", "regret", "soft"])
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--readout", default="max", choices=["max", "meanmax"])
     ap.add_argument("--ema", type=float, default=0.0,
@@ -61,6 +61,7 @@ def main():
         ReorderClassifier,
         fill_regret_loss,
         masked_nll_loss,
+        soft_regret_loss,
     )
     from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.train import (
         load_checkpoint,
@@ -128,7 +129,8 @@ def main():
             res = minibatch_fit(
                 model, shards[si], vg,
                 epochs=args.epochs_per_visit,
-                loss_fn=fill_regret_loss if args.loss == "regret" else masked_nll_loss,
+                loss_fn={"regret": fill_regret_loss, "soft": soft_regret_loss,
+                        "nll": masked_nll_loss}[args.loss],
                 learning_rate=args.lr, weight_decay=args.weight_decay,
                 seed=args.seed + cycle * 100 + si,
                 init_params=params, init_opt_state=opt_state,

@@ -1,6 +1,7 @@
 from .reorder_classifier import (
     MLPBaseline,
     fill_regret_loss,
+    soft_regret_loss,
     ReorderClassifier,
     masked_accuracy,
     masked_nll_loss,
@@ -18,6 +19,7 @@ __all__ = [
     "masked_accuracy",
     "masked_nll_loss",
     "fill_regret_loss",
+    "soft_regret_loss",
     "SageOrderNet",
     "order_mse_loss",
     "order_position_accuracy",

@@ -139,3 +139,41 @@ def fill_regret_loss(
     m = mask.astype(log_probs.dtype)
     reg = jnp.sum(exp_regret * m) / jnp.maximum(jnp.sum(m), 1)
     return nll_weight * nll + regret_weight * reg
+
+
+def soft_regret_loss(
+    log_probs: jnp.ndarray, g: Graph, *, tau: float = 0.05,
+    regret_weight: float = 3.0,
+) -> jnp.ndarray:
+    """Soft-target objective for the near-tie label structure.
+
+    The argmax labels are arbitrary when two orderings fill within a few %
+    (diagnosed on the 5-seed flagship sweep: seeds differ most on graphs
+    whose top-2 fills are near-equal), so instead of one-hot NLL the
+    cross-entropy target is ``softmax(−regret/τ)`` over the measured
+    per-method log-fill regrets — a graph with a clear winner still gets an
+    (almost) one-hot target, a near-tie distributes mass over the tied
+    orderings and stops whipsawing the model between seeds.  The expected-
+    regret term of :func:`fill_regret_loss` is kept (it optimizes the
+    deployment metric directly).  Graphs without fills fall back to hard
+    NLL.
+    """
+    y = g.y.reshape(-1).astype(jnp.int32)
+    gmask = g.graph_mask()
+    fills = g.globals[:, 10:14]
+    has = jnp.all(fills > 0, axis=1)
+    safe = jnp.maximum(fills, 1.0)
+    best = jnp.min(safe, axis=1, keepdims=True)
+    regret = jnp.log(safe / best)                      # [G, 4], 0 at the best
+    soft = jax.nn.softmax(-regret / tau, axis=1)
+    onehot = jax.nn.one_hot(jnp.clip(y, 0), log_probs.shape[1],
+                            dtype=log_probs.dtype)
+    target = jnp.where(has[:, None], soft, onehot)
+    ce = -jnp.sum(target * log_probs, axis=1)
+    m = gmask.astype(log_probs.dtype)
+    loss = jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1)
+    p = jnp.exp(log_probs)
+    exp_regret = jnp.sum(p * regret, axis=1)
+    mr = (gmask & has).astype(log_probs.dtype)
+    reg = jnp.sum(exp_regret * mr) / jnp.maximum(jnp.sum(mr), 1)
+    return loss + regret_weight * reg

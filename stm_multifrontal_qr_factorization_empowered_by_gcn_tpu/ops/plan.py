@@ -42,6 +42,7 @@ with the format choice static.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -86,23 +87,65 @@ def _permute_bwd(res, g):
 permute_rows.defvjp(_permute_fwd, _permute_bwd)
 
 
+def _apply_parts(x, bsr, ell, num_nodes):
+    """Forward-only hybrid apply: dense blocks + gather tail, summed."""
+    from .bsr import bsr_matmul
+    from .ell import spmm_ell_sum
+
+    out = None
+    if bsr is not None:
+        out = bsr_matmul(bsr, x)[:num_nodes]
+    if ell is not None:
+        e = spmm_ell_sum(x, ell)[:num_nodes]
+        out = e if out is None else out + e
+    if out is None:
+        out = jnp.zeros_like(x)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def spmm_planned(x, fwd_bsr, fwd_ell, bwd_bsr, bwd_ell, num_nodes):
+    """Hybrid SpMM whose backward runs an *independently decomposed*
+    transpose plan: ``(fwd_bsr, fwd_ell)`` partition A's edges by receiver
+    skew, ``(bwd_bsr, bwd_ell)`` partition Aᵀ's edges by *sender* skew —
+    the two splits need not correspond (``d/dx (A @ x) = Aᵀ @ g`` holds for
+    any decomposition of Aᵀ)."""
+    return _apply_parts(x, fwd_bsr, fwd_ell, num_nodes)
+
+
+def _spmm_planned_fwd(x, fwd_bsr, fwd_ell, bwd_bsr, bwd_ell, num_nodes):
+    out = _apply_parts(x, fwd_bsr, fwd_ell, num_nodes)
+    return out, (fwd_bsr, fwd_ell, bwd_bsr, bwd_ell)
+
+
+def _spmm_planned_bwd(num_nodes, res, g):
+    fwd_bsr, fwd_ell, bwd_bsr, bwd_ell = res
+    zeros = jax.tree_util.tree_map(
+        jnp.zeros_like, (fwd_bsr, fwd_ell, bwd_bsr, bwd_ell))
+    return (_apply_parts(g, bwd_bsr, bwd_ell, num_nodes), *zeros)
+
+
+spmm_planned.defvjp(_spmm_planned_fwd, _spmm_planned_bwd)
+
+
 class SpmmPlan(NamedTuple):
     """Differentiable SpMM executor; ``apply(x) == A @ x`` for the planned
     adjacency (weights baked in at build time).
 
-    When ``perm`` is set the BSR structures live in degree-sorted space.
-    Chained row gathers are super-additive on v5e (two dependent 131k-row
-    gathers cost 1.53 ms vs 0.68 ms independent — a gather reading a fresh
-    intermediate runs ~4x slower than one reading a stable buffer), so the
-    plan is laid out so **no gather ever reads another gather's output**:
+    When ``perm`` is set the sparse structures live in degree-sorted space;
+    chained layers should stay in that frame (:meth:`to_frame` once,
+    :meth:`apply_relabeled` per layer, :meth:`from_frame` once) — the
+    per-layer permute pairs of :meth:`apply` cancel mathematically.
 
-    * ``apply`` feeds the ELL residual straight from the caller's ``x``
-      through *mixed-frame* tables (``ell_fwd_orig``: senders in original
-      ids, combine rows in permuted ids) and pays exactly one input permute
-      (reads ``x``) and one output un-permute;
-    * ``apply_relabeled`` runs wholly in the permuted frame (callers keep
-      node features relabeled across layers, like the banded path keeps RCM
-      labels) using the permuted-frame ``ell_fwd`` pair — zero permutes.
+    **The backward is planned independently of the forward.**  ``d/dx`` of
+    an SpMM is the SpMM with Aᵀ, whose skew lives on the *senders* (the
+    transpose's receivers): a forward decomposition tuned for receiver skew
+    says nothing about how Aᵀ should split.  ``bsr_bwd``/``ell_bwd`` are
+    therefore a full hybrid decomposition of the transpose graph — its own
+    dense blocks over the same break-even threshold, its own width-tuned
+    tail — and :func:`spmm_planned` routes cotangents through it (the
+    reference pays symmetric gather+scatter instead,
+    ``message_passing.py:124-300``).
     """
 
     bsr_fwd: Optional[BsrMatrix]
@@ -113,10 +156,13 @@ class SpmmPlan(NamedTuple):
     method: str  # 'bsr' | 'ell' | 'hybrid'
     perm: Optional[jnp.ndarray] = None      # relabeled -> original node id
     inv_perm: Optional[jnp.ndarray] = None  # original -> relabeled node id
-    ell_fwd_orig: Optional[EllGraph] = None  # senders original / rows permuted
-    ell_bwd_orig: Optional[EllGraph] = None  # senders permuted / rows original
 
     def apply_relabeled(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.method == "hybrid":
+            return spmm_planned(
+                x, self.bsr_fwd, self.ell_fwd, self.bsr_bwd, self.ell_bwd,
+                self.num_nodes,
+            )
         out = None
         if self.bsr_fwd is not None:
             out = spmm_bsr(x, self.bsr_fwd, self.bsr_bwd)[: self.num_nodes]
@@ -131,16 +177,7 @@ class SpmmPlan(NamedTuple):
         if self.perm is None:
             return self.apply_relabeled(x)
         xp = permute_rows(x, self.perm, self.inv_perm)
-        out = None
-        if self.bsr_fwd is not None:
-            out = spmm_bsr(xp, self.bsr_fwd, self.bsr_bwd)[: self.num_nodes]
-        if self.ell_fwd_orig is not None:
-            # mixed-frame residual: gathers read the caller's x directly
-            e = spmm_ell(x, self.ell_fwd_orig, self.ell_bwd_orig)
-            e = e[: self.num_nodes]
-            out = e if out is None else out + e
-        if out is None:
-            out = jnp.zeros_like(x)
+        out = self.apply_relabeled(xp)
         return permute_rows(out, self.inv_perm, self.perm)
 
     def to_frame(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -226,8 +263,7 @@ class SpmmPlan(NamedTuple):
 
 def _plan_flatten(p: SpmmPlan):
     return (
-        (p.bsr_fwd, p.bsr_bwd, p.ell_fwd, p.ell_bwd, p.perm, p.inv_perm,
-         p.ell_fwd_orig, p.ell_bwd_orig),
+        (p.bsr_fwd, p.bsr_bwd, p.ell_fwd, p.ell_bwd, p.perm, p.inv_perm),
         (p.num_nodes, p.method),
     )
 
@@ -236,7 +272,6 @@ def _plan_unflatten(aux, children):
     return SpmmPlan(
         *children[:4], num_nodes=aux[0], method=aux[1],
         perm=children[4], inv_perm=children[5],
-        ell_fwd_orig=children[6], ell_bwd_orig=children[7],
     )
 
 
@@ -377,7 +412,6 @@ def build_spmm_plan(
     )
 
     perm = inv_perm = None
-    senders_orig = None
     cost_id, bc_id, frac_id = _labeling_cost(
         senders, receivers, num_nodes, False, min_edges=bsr_min_edges
     )
@@ -397,7 +431,6 @@ def build_spmm_plan(
             # permute rows it costs per apply)
             use_degree = cost_deg < 0.9 * cost_id
         if use_degree:
-            senders_orig = senders
             senders, receivers = inv[senders], inv[receivers]
             perm = jnp.asarray(order.astype(np.int32))
             inv_perm = jnp.asarray(inv.astype(np.int32))
@@ -422,62 +455,59 @@ def build_spmm_plan(
             perm = inv_perm = None  # pure gather gains nothing from relabeling
 
     bsr_fwd = bsr_bwd = ell_fwd = ell_bwd = None
-    ell_fwd_orig = ell_bwd_orig = None
-    if method in ("bsr", "hybrid"):
-        thresh = 1 if method == "bsr" else split_thr
-        bsr_fwd, lo_f = bsr_from_coo(
+    if method == "bsr":
+        bsr_fwd, _ = bsr_from_coo(
             senders, receivers, num_nodes,
-            edge_weight=w, min_edges_per_block=thresh, dtype=block_dtype,
+            edge_weight=w, min_edges_per_block=1, dtype=block_dtype,
             block_cols=bc,
         )
-        bsr_bwd, lo_b = bsr_from_coo(
+        bsr_bwd, _ = bsr_from_coo(
             receivers, senders, num_nodes,
             edge_weight=w, min_edges_per_block=1, dtype=block_dtype,
             block_cols=bc,
         )
-        if method == "hybrid" and lo_f.any():
-            # residual edges go to the gather path; the backward BSR must
-            # then also exclude them (rebuild transpose over the kept set)
-            keep = ~lo_f
-            bsr_bwd, _ = bsr_from_coo(
-                receivers[keep], senders[keep], num_nodes,
-                edge_weight=w[keep], min_edges_per_block=1, dtype=block_dtype,
-                block_cols=bc,
-            )
-            from .pallas.segment import pallas_available
+    if method == "hybrid":
+        from .pallas.segment import pallas_available
 
-            ck = pallas_available()
-            width = ell_width or pick_ell_width(
-                receivers[lo_f], num_nodes,
-                candidates=(1, 2, 4, 8, 16, 32, 64) if ck else (4, 8, 16, 32, 64),
-                combine_overhead=0.5 if ck else 2.0,
+        ck = pallas_available()
+        widths = (1, 2, 4, 8, 16, 32, 64) if ck else (4, 8, 16, 32, 64)
+        ovh = 0.5 if ck else 2.0
+
+        def _decompose(s_dir, r_dir):
+            """Independent hybrid split of one direction (dense blocks by
+            this direction's own skew + width-tuned gather tail)."""
+            mat, lo = bsr_from_coo(
+                s_dir, r_dir, num_nodes,
+                edge_weight=w, min_edges_per_block=split_thr,
+                dtype=block_dtype, block_cols=bc,
             )
-            ell_fwd, ell_bwd = _build_ell_pair(
-                senders[lo_f], receivers[lo_f], num_nodes, w[lo_f], width,
-                combine_kernel=True,
-            )
-            if perm is not None:
-                # mixed-frame residual pair for the original-frame apply():
-                # fwd gathers x by ORIGINAL sender id, combines into
-                # PERMUTED rows; bwd gathers the (permuted-frame) cotangent
-                # by permuted receiver id, combines into original sender ids
-                ell_fwd_orig = ell_from_coo(
-                    senders_orig[lo_f], receivers[lo_f], num_nodes,
-                    edge_weight=w[lo_f], width=width, combine_kernel=True,
+            tail = None
+            if lo.any():
+                width = ell_width or pick_ell_width(
+                    r_dir[lo], num_nodes, candidates=widths,
+                    combine_overhead=ovh,
                 )
-                ell_bwd_orig = ell_from_coo(
-                    receivers[lo_f], senders_orig[lo_f], num_nodes,
-                    edge_weight=w[lo_f], width=width, combine_kernel=True,
+                tail = ell_from_coo(
+                    s_dir[lo], r_dir[lo], num_nodes,
+                    edge_weight=w[lo], width=width, combine_kernel=True,
                 )
+            return mat, tail
+
+        bsr_fwd, ell_fwd = _decompose(senders, receivers)
+        # the transpose's skew lives on the SENDERS — its split is planned
+        # from scratch (spmm_planned routes cotangents through it)
+        bsr_bwd, ell_bwd = _decompose(receivers, senders)
     if method == "ell":
+        # pure-ELL rows are nearly identity (most nodes hold one virtual
+        # row); the XLA sorted combine beats the indicator-matmul kernel
+        # there (measured 13.2 vs 14.4 ms on the uniform-random bench), so
+        # the kernel stays a hybrid-tail specialization
         width = ell_width or pick_ell_width(receivers, num_nodes)
-        ell_fwd, ell_bwd = _build_ell_pair(
-            senders, receivers, num_nodes, w, width, combine_kernel=True)
+        ell_fwd, ell_bwd = _build_ell_pair(senders, receivers, num_nodes, w, width)
 
     return SpmmPlan(
         bsr_fwd=bsr_fwd, bsr_bwd=bsr_bwd, ell_fwd=ell_fwd, ell_bwd=ell_bwd,
         num_nodes=num_nodes, method=method, perm=perm, inv_perm=inv_perm,
-        ell_fwd_orig=ell_fwd_orig, ell_bwd_orig=ell_bwd_orig,
     )
 
 
