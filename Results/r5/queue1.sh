@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-5 evidence queue (serialized: one TPU client at a time).
+# Each step logs to Results/r5/ and failures do not stop the queue.
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+R=Results/r5
+
+wait_tunnel() {
+  for i in $(seq 1 10); do
+    timeout 115 python -u -c "
+import jax, jax.numpy as jnp
+print(float((jnp.ones((256,256))@jnp.ones((256,256))).sum()))" \
+      >/dev/null 2>&1 && return 0
+    sleep 60
+  done
+  return 1
+}
+
+run() { # run <name> <timeout_s> <cmd...>
+  name=$1; t=$2; shift 2
+  echo "=== $name start $(date +%T) ===" >> $R/queue1.status
+  timeout "$t" "$@" > "$R/$name.log" 2>&1
+  echo "=== $name rc=$? $(date +%T) ===" >> $R/queue1.status
+  wait_tunnel
+  echo "=== tunnel rc=$? $(date +%T) ===" >> $R/queue1.status
+}
+
+run fullbatch_check 3600 python -u benchmark/fullbatch_plan_check.py
+run qr_bench_best 3600 python -u benchmark/qr_bench.py --ordering best
+for s in 0 1 2 3 4; do
+  run soft_s$s 3600 python -u scripts/train_sharded.py \
+      --loss soft --ema 0.995 --readout meanmax --seed $s \
+      --ckpt-dir models_ckpt/soft_s$s \
+      --out models_ckpt/graphmodel_soft_s$s.msgpack
+  run soft_eval${s}_test 1800 python -u scripts/eval_fill.py \
+      --ckpt models_ckpt/graphmodel_soft_s$s.msgpack --readout meanmax --split 2
+  run soft_eval${s}_val 1800 python -u scripts/eval_fill.py \
+      --ckpt models_ckpt/graphmodel_soft_s$s.msgpack --readout meanmax --split 1
+done

@@ -144,23 +144,23 @@ def main():
     def chain_of(plan, k):
         # Data-dependent chain of k normalized SpMM layers:
         #   y_t = A @ x_{t-1};  x_t = y_t * rsqrt(mean(y_t^2) + 1e-6)
-        # restated so step t's normalizer is applied inside step t+1's SpMM
-        # (A @ (a x) == a (A @ x)) — on the pure-BSR path apply_fused folds
-        # the scale into the MXU accumulate and reduces the sum-of-squares
-        # from the kernel's resident output window, so the normalization
-        # costs zero extra HBM passes; other plans fall back to the same
-        # math via XLA elementwise. The chain stays fully data-dependent.
-        # The plan is a jit *argument* (not a closure constant) so its block
-        # arrays live on device instead of being inlined into the HLO.
+        # — the r01-r03 headline chain (plain apply + XLA elementwise
+        # normalization).  Round 5 re-measured the r04 fused-epilogue
+        # variant against this on the banded plan's best block width
+        # (bc=256): plain 0.855 ms vs fused 1.111 ms — the fused kernel's
+        # per-step epilogue overhead exceeds the elementwise passes it
+        # saves there, so the headline returns to the r03 chain (metric
+        # continuity restored; the fused path remains the power-law
+        # chain's win below).  The plan is a jit *argument* (not a closure
+        # constant) so its block arrays live on device instead of being
+        # inlined into the HLO.
         @jax.jit
         def chain_impl(x, p):
-            def body(_, carry):
-                x, a = carry
-                y, ss = p.apply_fused(x, a)
-                return y, jax.lax.rsqrt(ss / (N * F) + 1e-6)
+            def body(_, x):
+                y = p.apply(x)
+                return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
 
-            y, a = jax.lax.fori_loop(0, k, body, (x, jnp.float32(1.0)))
-            return jnp.sum((y * a)[0])
+            return jnp.sum(jax.lax.fori_loop(0, k, body, x)[0])
 
         return lambda x: chain_impl(x, plan)
 

@@ -52,19 +52,23 @@ import numpy as np
 from .bsr import BsrMatrix, bsr_from_coo, spmm_bsr
 from .ell import EllGraph, ell_from_coo, spmm_ell
 
-# v5e-calibrated plan-time cost constants (measured on the N=131k/E=4.2M
-# dependent-chain benchmark, block + x-window DMA included): per-step cost
-# of a [128, bc] block matmul, and one gathered row at the measured random
-# row-gather floor (~420 M rows/s) ≈ 2.4 ns.  Wider blocks amortize the
-# per-step DMA overhead (64 KiB transfers run ~370 GB/s effective, 256 KiB
-# ~850 GB/s) at the price of halved fill density per block.
-_STEP_NS = {128: 360.0, 256: 440.0, 512: 620.0}
+# v5e-calibrated plan-time cost constants, re-measured round 5 on the
+# N=131k/E=4.2M dependent-chain benchmark (block + x-window DMA included):
+# per-step cost of a [128, bc] block matmul (banded: 3072 steps/1.19 ms at
+# bc=128, 2048/0.855 at 256, 1537/1.11 at 512 — the old 620 ns figure for
+# 512 underestimated and made the model pick 512 where 256 measures 23 %
+# faster), one gathered row for the baked relabel permute (~2.4 ns), and
+# one residual tail edge including its share of the w2 gather + flat
+# combine kernel (~4.4 ns measured: 366k tail edges cost 0.75 ms gather +
+# 0.85 ms combine).
+_STEP_NS = {128: 390.0, 256: 420.0, 512: 720.0}
 _ROW_NS = 2.4
+_TAIL_NS = 4.4
 
 
 def _break_even_edges(block_cols: int) -> int:
-    """Edges a [128, block_cols] block must hold to beat the gather floor."""
-    return int(np.ceil(_STEP_NS[block_cols] / _ROW_NS))
+    """Edges a [128, block_cols] block must hold to beat the tail path."""
+    return int(np.ceil(_STEP_NS[block_cols] / _TAIL_NS))
 
 
 @jax.custom_vjp
@@ -359,7 +363,7 @@ def _labeling_cost(senders, receivers, num_nodes, permuted, *,
         # the within-row window ordering (ops/bsr._window_order) skips the
         # x-window DMA — roughly half a step's traffic — on dup steps
         dup = _dup_count(uniq[dense], nbcol) if ndense else 0
-        cost = (ndense - 0.5 * dup) * step_ns + tail_edges * _ROW_NS
+        cost = (ndense - 0.5 * dup) * step_ns + tail_edges * _TAIL_NS
         if permuted:
             cost += 2 * num_nodes * _ROW_NS
         if cost < best[0]:

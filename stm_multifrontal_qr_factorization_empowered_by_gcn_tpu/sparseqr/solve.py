@@ -495,10 +495,21 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
              if method == "seminormal" else _qr_solve_once(F_s, b_s))
     if refine:
         b64 = np.asarray(b_s, np.float64)
+        m_orig = A64.shape[0]
         for _ in range(refine):
             # least-squares refinement: minimize over the correction d of
             # ‖A d − r‖ with r = b − A x (reuses the same factorization)
             r = b64 - A_s @ np.asarray(x, np.float64)
+            if A_s.shape[0] > m_orig:
+                # damped path: refine against the ORIGINAL system (zero the
+                # augmented rows' residual, which carries −λx).  This turns
+                # the loop into iterated Tikhonov — each pass shrinks the
+                # ridge bias by λ²/(σ²+λ²) on the live spectrum, so the
+                # solution converges to the true least-squares answer
+                # instead of the ridge-biased one (keeping the λx rows
+                # refines TOWARD the ridge solution, stuck at O(λ²/σ²)
+                # residual — the round-4 stragglers).
+                r[m_orig:] = 0.0
             if method == "seminormal":
                 d = _seminormal_solve_once(F_s, A_s, r)
             else:
