@@ -37,3 +37,7 @@ for s in 0 1 2 3 4; do
   run soft_eval${s}_val 1800 python -u scripts/eval_fill.py \
       --ckpt models_ckpt/graphmodel_soft_s$s.msgpack --readout meanmax --split 1
 done
+run sampled_scan_f32 2400 python -u benchmark/sampled_sage_scale.py --scan --epochs 3 --infer-iters 0 --fullbatch-epochs 0
+run sampled_scan_bf16 2400 python -u benchmark/sampled_sage_scale.py --scan --epochs 3 --infer-iters 0 --fullbatch-epochs 0 --feat-dtype bf16
+run eval_time_meas68 10800 python -u scripts/eval_time.py --measure 68
+run qr_bench_best_eq 3600 python -u benchmark/qr_bench.py --ordering best

@@ -116,7 +116,7 @@ def main():
             # reaching the reference's ~1e-8 band is on record
             t0 = time.time()
             x1, _ = sparseqr.least_squares(A, b, F=F, method="seminormal",
-                                           refine=3)
+                                           refine=3, equilibrate=True)
             t_ref = time.time() - t0
             res = min(res_plain, relres(x1))
         except Exception as e:

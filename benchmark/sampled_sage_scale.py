@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--fanouts", type=int, nargs="+", default=[25, 10])
     ap.add_argument("--skip-sampled", action="store_true",
                     help="skip the sampled-training phase")
+    ap.add_argument("--feat-dtype", default="f32", choices=["f32", "bf16"],
+                    help="feature-table storage dtype for the scan phase "
+                         "(bf16 halves the gather bytes; cast-after-gather "
+                         "keeps the model math f32 — round-5 task-7 A/B)")
     ap.add_argument("--scan", action="store_true",
                     help="sampled phase as ONE on-device lax.scan per "
                          "epoch (sampling fused into the program; "
@@ -165,12 +169,17 @@ def main():
         )
 
         def scan_loss(p, blocks, seeds, xj, yj):
-            logp = model.apply(p, xj[blocks[0].src_ids], blocks)
+            h = xj[blocks[0].src_ids].astype(jnp.float32)
+            logp = model.apply(p, h, blocks)
             return -jnp.mean(
                 jnp.take_along_axis(logp, yj[seeds][:, None], 1))
 
         epoch_fn = make_scanned_sampled_trainer(
             scan_loss, tx, loader.table, args.fanouts)
+        if args.feat_dtype == "bf16":
+            xj = xj.astype(jnp.bfloat16)
+            print("feature table stored bf16 (gather bytes halved; "
+                  "cast-after-gather)")
         key = jax.random.key(0)
         seeds0 = jnp.asarray(loader.seed_batches(0))
         # warm-up compile

@@ -297,6 +297,12 @@ class QRFactorization:
     # ``least_squares`` so repeated solves against one handle refactorize
     # [A; lam*I] once, not per call.
     damped: Optional[Tuple] = None
+    # cache of the power-of-2 equilibrated factorization
+    # (row_scale, col_scale, A_scaled_csc, F_scaled) — the
+    # ``least_squares(equilibrate=True)`` path for badly scaled square
+    # systems (the f32-front answer to the condition numbers the
+    # reference absorbs with f64 fronts).
+    scaled: Optional[Tuple] = None
 
     @property
     def keep_q(self) -> bool:

@@ -414,9 +414,29 @@ def _seminormal_solve_once(F: QRFactorization, A64: sp.csc_matrix,
     return out
 
 
+def _pow2_equilibrate(A: sp.csc_matrix) -> Tuple[np.ndarray, np.ndarray]:
+    """Power-of-2 row/column scalings (exact in floating point).
+
+    Rows are scaled only for SQUARE systems — row scaling reweights a
+    rectangular least-squares objective, but for m == n the solve is exact
+    and ``Dr A Dc z = Dr b`` recovers the original solution unchanged.
+    Column scaling (a change of variable units) is always safe."""
+    m, n = A.shape
+    Aa = abs(A.tocsr(copy=True))
+    dr = np.ones(m)
+    if m == n:
+        rmax = np.asarray(Aa.max(axis=1).todense()).ravel()
+        dr = np.exp2(-np.round(np.log2(np.where(rmax > 0, rmax, 1.0))))
+        Aa = sp.diags(dr) @ Aa
+    cmax = np.asarray(Aa.max(axis=0).todense()).ravel()
+    dc = np.exp2(-np.round(np.log2(np.where(cmax > 0, cmax, 1.0))))
+    return dr, dc
+
+
 def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
                   refine: int = 0, method: str = "qmult",
                   damp: Optional[float] = None,
+                  equilibrate: bool = False,
                   **fact_kw) -> Tuple[jnp.ndarray, QRFactorization]:
     """min ‖A x − b‖₂ — the ``qrtest`` solve flow
     (``test/qrtest.c:11-53``: ``QR_qmult(QTX)`` + ``QR_solve(RETX)``).
@@ -446,6 +466,38 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
     preconditioner-exact solver and each pass multiplies the accuracy by
     ~κ·eps₃₂ until it hits the f64 floor."""
     A64 = sp.csc_matrix(A).astype(np.float64)
+    if equilibrate:
+        # Badly scaled systems (circuit matrices span ~1e±10) put the f32
+        # factorization's κ·eps32 contraction near 1 and refinement stalls
+        # in the 1e-4 band; exact power-of-2 equilibration restores it.
+        # The scaled factorization reuses the caller's SYMBOLIC analysis
+        # (identical pattern) and is cached on the handle.
+        if F is not None and F.scaled is not None:
+            dr, dc, A_s64, F_sc = F.scaled
+        else:
+            dr, dc = _pow2_equilibrate(A64)
+            A_s64 = (sp.diags(dr) @ A64 @ sp.diags(dc)).tocsc()
+            kw = dict(fact_kw)
+            if F is not None:
+                kw.setdefault("sym", F.sym)
+                # value-dependent tol must be recomputed for the scaled
+                # values (the cached plan's maxcolnorm is the unscaled one)
+                from .numeric import default_tol
+                mc = float(np.sqrt(A_s64.multiply(A_s64).sum(axis=0).max()))
+                kw.setdefault("tol", default_tol(
+                    *A_s64.shape, mc, np.dtype(np.float32)))
+            F_sc = factorize(A_s64, keep_q=(method == "qmult"), **kw)
+            if F is not None:
+                F.scaled = (dr, dc, A_s64, F_sc)
+        b_arr = np.asarray(b, np.float64)
+        bs = b_arr * (dr if b_arr.ndim == 1 else dr[:, None])
+        z, _ = least_squares(A_s64, bs, F=F_sc, refine=refine,
+                             method=method, damp=damp)
+        z = np.asarray(z, np.float64)
+        x = z * (dc if z.ndim == 1 else dc[:, None])
+        if F is None:
+            F = F_sc
+        return (x if refine else jnp.asarray(x)), F
     if F is None:
         F = factorize(A, keep_q=(method == "qmult"), **fact_kw)
 

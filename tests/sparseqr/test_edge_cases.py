@@ -151,3 +151,44 @@ def test_least_squares_returns_callers_handle():
     assert F.damped[2] is cached, "repeat solve reuses the cached F_aug"
     r = np.linalg.norm(A @ np.asarray(x, np.float64) - b) / np.linalg.norm(b)
     assert r < 1e-3
+
+
+def test_refine_converges_on_damped_path():
+    # iterated Tikhonov: refinement against the ORIGINAL system residual
+    # (augmented rows zeroed) must reach the f64 floor instead of the
+    # ridge-biased O(lam^2/sigma^2) plateau (round-5 fix)
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    A = sp.random(60, 25, density=0.3, random_state=0, format="csc")
+    A = sp.hstack([A, A[:, :4]]).tocsc()  # rank deficient
+    x_true = rng.normal(size=29)
+    b = np.asarray(A @ x_true, np.float64)
+    x, _ = least_squares(A, b.astype(np.float32), refine=2,
+                         method="seminormal")
+    r = np.linalg.norm(A @ np.asarray(x, np.float64) - b) / np.linalg.norm(b)
+    assert r < 1e-6
+
+
+def test_equilibrated_solve_on_badly_scaled_system():
+    # rows spanning ~e+-10 stall f32 refinement near 1e-4; exact power-of-2
+    # equilibration restores the kappa*eps32 contraction (round-5; the
+    # reference absorbs this with f64 fronts instead, qrtest.c:196-201)
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(1)
+    n = 150
+    A = sp.random(n, n, density=0.04, random_state=1, format="csc") + sp.eye(n)
+    A = (sp.diags(np.exp(rng.normal(0.0, 8.0, n))) @ A).tocsc()
+    x_true = rng.normal(size=n)
+    b = np.asarray(A @ x_true, np.float64)
+    F = factorize(A)
+    x, _ = least_squares(A, b.astype(np.float32), F=F, refine=3,
+                         method="seminormal", equilibrate=True)
+    r = np.linalg.norm(A @ np.asarray(x, np.float64) - b) / np.linalg.norm(b)
+    assert r < 1e-6
+    # cached scaled factorization is reused on the second call
+    assert F.scaled is not None
+    x2, _ = least_squares(A, b.astype(np.float32), F=F, refine=3,
+                          method="seminormal", equilibrate=True)
+    assert np.allclose(np.asarray(x), np.asarray(x2))
