@@ -863,14 +863,26 @@ vector<char> multilevel_bisect(const WGraph& g0, double frac = 0.5) {
   return part;
 }
 
-// Induced weighted subgraph of `a` on `nodes` (unit weights).
+// Induced weighted subgraph of `a` on `nodes` (unit weights unless
+// `vwt` gives per-ORIGINAL-vertex weights — e.g. degrees, which makes
+// multilevel_bisect balance EDGES per side instead of nodes).
 WGraph induced_wgraph(const Adj& a, const vector<int32_t>& nodes,
-                      vector<int32_t>& local) {
+                      vector<int32_t>& local,
+                      const int32_t* vwt = nullptr) {
   const int32_t m = (int32_t)nodes.size();
   WGraph g;
   g.n = m;
-  g.vwt.assign(m, 1);
-  g.total_vwt = m;
+  if (vwt) {
+    g.vwt.resize(m);
+    g.total_vwt = 0;
+    for (int32_t i = 0; i < m; ++i) {
+      g.vwt[i] = vwt[nodes[i]];
+      g.total_vwt += g.vwt[i];
+    }
+  } else {
+    g.vwt.assign(m, 1);
+    g.total_vwt = m;
+  }
   for (int32_t i = 0; i < m; ++i) local[nodes[i]] = i;
   g.ptr.assign(m + 1, 0);
   for (int32_t i = 0; i < m; ++i) {
@@ -993,14 +1005,15 @@ void nd_recurse(const Adj& a, vector<int32_t>& nodes, int32_t leaf_size,
 // ClusterData / multi-host edge partition quality path)
 // ---------------------------------------------------------------------------
 void ml_partition_recurse(const Adj& a, vector<int32_t>& nodes, int32_t k0,
-                          int32_t k, int32_t* part) {
+                          int32_t k, int32_t* part,
+                          const int32_t* vwt = nullptr) {
   if (k <= 1 || (int32_t)nodes.size() <= 1) {
     for (int32_t v : nodes) part[v] = k0;
     return;
   }
   int32_t kl = k / 2, kr = k - kl;
   vector<int32_t> local(a.n, -1);
-  WGraph sub = induced_wgraph(a, nodes, local);
+  WGraph sub = induced_wgraph(a, nodes, local, vwt);
   vector<char> side = multilevel_bisect(sub, (double)kl / (double)k);
   vector<int32_t> left, right;
   for (size_t i = 0; i < nodes.size(); ++i)
@@ -1010,8 +1023,8 @@ void ml_partition_recurse(const Adj& a, vector<int32_t>& nodes, int32_t k0,
     left.assign(nodes.begin(), nodes.begin() + nodes.size() / 2);
     right.assign(nodes.begin() + nodes.size() / 2, nodes.end());
   }
-  ml_partition_recurse(a, left, k0, kl, part);
-  ml_partition_recurse(a, right, k0 + kl, kr, part);
+  ml_partition_recurse(a, left, k0, kl, part, vwt);
+  ml_partition_recurse(a, right, k0 + kl, kr, part, vwt);
 }
 
 // ---------------------------------------------------------------------------
@@ -1144,6 +1157,19 @@ int stm_ml_partition(int32_t n, int64_t nnz, const int32_t* src,
   vector<int32_t> nodes(n);
   std::iota(nodes.begin(), nodes.end(), 0);
   ml_partition_recurse(a, nodes, 0, parts, part_out);
+  return 0;
+}
+
+// weighted variant: vwt[v] (e.g. degree) balances per-side WEIGHT — the
+// edge-balanced partition skew-degree graphs need (hub receivers make the
+// node-balanced cut put almost all edges on one part)
+int stm_ml_partition_w(int32_t n, int64_t nnz, const int32_t* src,
+                       const int32_t* dst, const int32_t* vwt,
+                       int32_t parts, int32_t* part_out) {
+  Adj a = build_adj(n, nnz, src, dst, true);
+  vector<int32_t> nodes(n);
+  std::iota(nodes.begin(), nodes.end(), 0);
+  ml_partition_recurse(a, nodes, 0, parts, part_out, vwt);
   return 0;
 }
 

@@ -77,11 +77,18 @@ def _load():
     lib.stm_ml_partition.argtypes = [
         ctypes.c_int32, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p,
     ]
+    lib.stm_ml_partition_w.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int32,
+        i32p,
+    ]
     i64p = ctypes.POINTER(ctypes.c_int64)
     pp32 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
     pp64 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
     lib.stm_col_etree_post.argtypes = [
         ctypes.c_int32, ctypes.c_int32, i64p, i32p, i32p, i32p,
+    ]
+    lib.stm_qr_col_counts.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i64p, i32p, i32p, i64p,
     ]
     lib.stm_qr_fronts.argtypes = [
         ctypes.c_int32, ctypes.c_int32, i64p, i32p, i32p,
@@ -98,7 +105,8 @@ def _load():
     for f in (lib.stm_order, lib.stm_symbolic_fill, lib.stm_col_order,
               lib.stm_order_fast, lib.stm_col_order_fast,
               lib.stm_bfs_partition, lib.stm_ml_partition,
-              lib.stm_col_etree_post, lib.stm_qr_fronts):
+              lib.stm_ml_partition_w, lib.stm_col_etree_post,
+              lib.stm_qr_fronts, lib.stm_qr_col_counts):
         f.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -224,14 +232,26 @@ def bfs_partition(senders, receivers, num_nodes: int, parts: int) -> np.ndarray:
     return out
 
 
-def ml_partition(senders, receivers, num_nodes: int, parts: int) -> np.ndarray:
+def ml_partition(senders, receivers, num_nodes: int, parts: int,
+                 vweights=None) -> np.ndarray:
     """k-way partition via recursive multilevel bisection (HEM coarsening +
     FM refinement — the METIS_PartGraph role used by the reference's
     ClusterData, ``data/cluster.py:28-60``).  Lower edge cut than
-    :func:`bfs_partition` at the same balance."""
+    :func:`bfs_partition` at the same balance.
+
+    ``vweights`` (optional, int per node — e.g. degrees) balances per-part
+    WEIGHT instead of node count: the edge-balanced mode skew-degree
+    graphs need (hub receivers otherwise put almost all edges on one
+    part)."""
     s, r = _as_i32(senders), _as_i32(receivers)
     out = np.empty(num_nodes, np.int32)
-    rc = _load().stm_ml_partition(num_nodes, len(s), _ptr(s), _ptr(r), parts, _ptr(out))
+    if vweights is None:
+        rc = _load().stm_ml_partition(
+            num_nodes, len(s), _ptr(s), _ptr(r), parts, _ptr(out))
+    else:
+        w = _as_i32(vweights)
+        rc = _load().stm_ml_partition_w(
+            num_nodes, len(s), _ptr(s), _ptr(r), _ptr(w), parts, _ptr(out))
     if rc != 0:
         raise ValueError("stm_ml_partition failed")
     return out

@@ -83,7 +83,18 @@ def partition_graph(
             try:
                 from .. import native
 
-                partition_fn = lambda s_, r_, n_, p_: native.ml_partition(s_, r_, n_, p_)
+                # edges are receiver-owned, so the per-part edge load is the
+                # sum of receiver degrees; on skew-degree graphs a node-
+                # balanced cut puts almost all edges on the hub part
+                # (measured: Zipf-1.5 at P=2 left 99.8 % of edges on one
+                # side) — weight vertices by 1 + in-degree so the bisection
+                # balances EDGES
+                deg = np.bincount(r, minlength=n)
+                skewed = n > 0 and deg.max(initial=0) > 8 * max(
+                    len(r) / max(n, 1), 1.0)
+                vw = (1 + deg).astype(np.int32) if skewed else None
+                partition_fn = lambda s_, r_, n_, p_: native.ml_partition(
+                    s_, r_, n_, p_, vweights=vw)
             except Exception:
                 from ..data.cluster import bfs_partition
 
