@@ -275,11 +275,67 @@ class TestPlan:
         s, r, w = _random_graph(n, e, seed=12)
         A = _dense(s, r, w, n)
         x = jnp.asarray(np.random.default_rng(13).normal(size=(n, f)).astype(np.float32))
-        for force in ("bsr", "ell"):
+        for force in ("bsr", "ell", "hybrid"):
             plan = build_spmm_plan(s, r, n, edge_weight=w, force=force)
             g = jax.grad(lambda x: jnp.sum(plan.apply(x) ** 2))(x)
             ref = 2 * A.T @ (A @ np.asarray(x))
             np.testing.assert_allclose(g, ref, atol=1e-3)
+
+    def test_frame_roundtrip_and_chain(self):
+        # to_frame/from_frame invert each other, and a frame-resident chain
+        # equals the apply chain (the bench.py / multi-layer-GNN contract)
+        rng = np.random.default_rng(31)
+        n, e, f = 4096, 32768, 8
+        wt = np.minimum(rng.zipf(1.5, n), n // 8).astype(np.float64)
+        p = wt / wt.sum()
+        s = rng.choice(n, size=e, p=p).astype(np.int64)
+        r = rng.choice(n, size=e, p=p).astype(np.int64)
+        w = rng.normal(size=e).astype(np.float32) * 0.05
+        plan = build_spmm_plan(s, r, n, edge_weight=w, relabel="degree")
+        assert plan.perm is not None
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(plan.from_frame(plan.to_frame(x))), np.asarray(x))
+        ref = plan.apply(plan.apply(x))
+        framed = plan.from_frame(
+            plan.apply_relabeled(plan.apply_relabeled(plan.to_frame(x))))
+        np.testing.assert_allclose(np.asarray(framed), np.asarray(ref),
+                                   atol=1e-3)
+
+    def test_relabeled_fused_matches(self):
+        # hybrid fused path (combine-kernel init + epilogue on TPU, XLA
+        # fallback on CPU): y == alpha * apply_relabeled(x), ss == sum(y^2)
+        n, e, f = 300, 3000, 16
+        s, r, w = _random_graph(n, e, seed=41)
+        x = jnp.asarray(
+            np.random.default_rng(42).normal(size=(n, f)).astype(np.float32))
+        for force in ("bsr", "ell", "hybrid"):
+            plan = build_spmm_plan(s, r, n, edge_weight=w, force=force)
+            ref = 0.6 * np.asarray(plan.apply_relabeled(x))
+            y, ss = plan.apply_relabeled_fused(x, 0.6)
+            np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+            np.testing.assert_allclose(float(ss), float((ref**2).sum()),
+                                       rtol=1e-4)
+
+    def test_hybrid_backward_is_independent_decomposition(self):
+        # the bwd tables decompose A^T by ITS skew: every edge must appear
+        # exactly once across bwd blocks + bwd tail (gradient exactness is
+        # the theorem; structure sanity checked here)
+        n, e = 512, 8192
+        rng = np.random.default_rng(5)
+        wt = np.minimum(rng.zipf(1.5, n), n // 4).astype(np.float64)
+        p = wt / wt.sum()
+        s = rng.choice(n, size=e, p=p).astype(np.int64)
+        r = rng.choice(n, size=e, p=p).astype(np.int64)
+        w = rng.normal(size=e).astype(np.float32)
+        plan = build_spmm_plan(s, r, n, edge_weight=w, force="hybrid",
+                               relabel=None)
+        A = _dense(s, r, w, n)
+        f = 8
+        x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        g = jax.grad(lambda x: jnp.sum(plan.apply(x) ** 2))(x)
+        ref = 2 * A.T @ (A @ np.asarray(x))
+        np.testing.assert_allclose(np.asarray(g), ref, atol=1e-3)
 
 
 class TestLayerPlans:
