@@ -41,3 +41,5 @@ run sampled_scan_f32 2400 python -u benchmark/sampled_sage_scale.py --scan --epo
 run sampled_scan_bf16 2400 python -u benchmark/sampled_sage_scale.py --scan --epochs 3 --infer-iters 0 --fullbatch-epochs 0 --feat-dtype bf16
 run eval_time_meas68 10800 python -u scripts/eval_time.py --measure 68
 run qr_bench_best_eq 3600 python -u benchmark/qr_bench.py --ordering best
+run sampled_scan_f32_b 2400 python -u benchmark/sampled_sage_scale.py --scan --epochs 3 --infer-iters 0 --fullbatch-epochs 0
+run sampled_scan_bf16_b 2400 python -u benchmark/sampled_sage_scale.py --scan --epochs 3 --infer-iters 0 --fullbatch-epochs 0 --feat-dtype bf16
