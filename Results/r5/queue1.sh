@@ -43,3 +43,13 @@ run eval_time_meas68 10800 python -u scripts/eval_time.py --measure 68
 run qr_bench_best_eq 3600 python -u benchmark/qr_bench.py --ordering best
 run sampled_scan_f32_b 2400 python -u benchmark/sampled_sage_scale.py --scan --epochs 3 --infer-iters 0 --fullbatch-epochs 0
 run sampled_scan_bf16_b 2400 python -u benchmark/sampled_sage_scale.py --scan --epochs 3 --infer-iters 0 --fullbatch-epochs 0 --feat-dtype bf16
+run qr_bench_best_eq2 3600 python -u benchmark/qr_bench.py --ordering best
+for s in 0 1 2 3 4; do
+  run solver_s$s 3600 python -u scripts/train_sharded.py \
+      --loss regret --ema 0.995 --readout meanmax --seed $s \
+      --data-root data/ClassorderGenS --matrices-dir data/ClassorderGen/matrices \
+      --extra-train-root data/ClassorderGen2kS,data/ClassorderGen8kS \
+      --extra-matrices-dir data/ClassorderGen2k/matrices,data/ClassorderGen8k/matrices \
+      --ckpt-dir models_ckpt/solver_s$s \
+      --out models_ckpt/graphmodel_solver_s$s.msgpack
+done

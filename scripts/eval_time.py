@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--data-root", default="data/ClassorderGen")
     ap.add_argument("--matrices-dir", default="data/ClassorderGen/matrices")
     ap.add_argument("--split", type=int, default=1, help="0 train 1 val 2 test")
-    ap.add_argument("--ckpt", default="models_ckpt/graphmodel_best.msgpack")
+    ap.add_argument("--ckpt", default="models_ckpt/graphmodel_best.msgpack",
+                    help="checkpoint path, or comma-separated list for a "
+                         "probability-mean seed ensemble")
     ap.add_argument("--readout", default="meanmax", choices=["max", "meanmax"])
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--measure", type=int, default=0,
@@ -65,16 +67,27 @@ def main():
 
     model = ReorderClassifier(hidden=args.hidden, readout=args.readout)
     g0 = jax.tree_util.tree_map(jnp.asarray, pad_to_bucket(ds.get(0)))
-    params = model.init(jax.random.key(0), g0)
-    with open(args.ckpt, "rb") as f:
-        raw = f.read()
-    try:
-        state = flax.serialization.from_bytes({"params": params}, raw)
-        params = state["params"]
-    except ValueError:
-        state = flax.serialization.from_bytes({"params": params["params"]}, raw)
-        params = {"params": state["params"]}
-    fwd = jax.jit(lambda g: model.apply(params, g))
+    params0 = model.init(jax.random.key(0), g0)
+
+    def _load(path):
+        with open(path, "rb") as f:
+            raw = f.read()
+        try:
+            state = flax.serialization.from_bytes({"params": params0}, raw)
+            return state["params"]
+        except ValueError:
+            state = flax.serialization.from_bytes(
+                {"params": params0["params"]}, raw)
+            return {"params": state["params"]}
+
+    all_params = [_load(p) for p in args.ckpt.split(",")]
+    if len(all_params) > 1:
+        print(f"seed ensemble: {len(all_params)} checkpoints")
+
+    @jax.jit
+    def fwd(g):
+        probs = sum(jnp.exp(model.apply(p, g)) for p in all_params)
+        return jnp.log(probs / len(all_params))
 
     names = ["AMD", "COLAMD", "METIS", "NESDIS"]
     flops = {k: [] for k in range(4)}

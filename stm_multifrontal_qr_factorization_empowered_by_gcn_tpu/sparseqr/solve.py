@@ -476,7 +476,13 @@ def least_squares(A: sp.spmatrix, b, F: Optional[QRFactorization] = None,
             dr, dc, A_s64, F_sc = F.scaled
         else:
             dr, dc = _pow2_equilibrate(A64)
-            A_s64 = (sp.diags(dr) @ A64 @ sp.diags(dc)).tocsc()
+            # scale the data array in place: sp.diags(..) @ A @ sp.diags(..)
+            # PRUNES explicit zeros, changing the pattern out from under the
+            # reused symbolic analysis (IndexError on matrices with stored
+            # zeros — bayer10/cvxqp3/ex18)
+            A_s64 = A64.copy()
+            col_rep = np.repeat(dc, np.diff(A_s64.indptr))
+            A_s64.data = A_s64.data * dr[A_s64.indices] * col_rep
             kw = dict(fact_kw)
             if F is not None:
                 kw.setdefault("sym", F.sym)
