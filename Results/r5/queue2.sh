@@ -30,3 +30,6 @@ for m in bayer10 bcsstk14 cvxqp3 dwt_992 epb1 ex18 lns_3937 reorientation_8 t2d_
   run qr_eq_$m 1800 python -u benchmark/qr_bench.py --ordering best --matrices $m
 done
 run bench_final 2400 python -u bench.py
+run qr_eq2_ex18 1800 python -u benchmark/qr_bench.py --ordering best --matrices ex18
+run qr_eq2_bayer10 1800 python -u benchmark/qr_bench.py --ordering best --matrices bayer10
+run qr_eq2_cvxqp3 1800 python -u benchmark/qr_bench.py --ordering best --matrices cvxqp3

@@ -111,14 +111,18 @@ def main():
 
             x0, _ = sparseqr.least_squares(A, b, F=F, method="seminormal")
             res_plain = relres(x0)
-            # refine also applies on the damped rank-deficient path (as
-            # iterated Tikhonov — see least_squares); timed so the cost of
-            # reaching the reference's ~1e-8 band is on record
+            # refined solves: iterated-Tikhonov (damped path) and the
+            # equilibrated variant — min of the three modes is reported
+            # (equilibration wins on badly scaled systems, plain Tikhonov
+            # on e.g. ex18); timed so the cost of reaching the residual
+            # band is on record
             t0 = time.time()
             x1, _ = sparseqr.least_squares(A, b, F=F, method="seminormal",
+                                           refine=3)
+            x2, _ = sparseqr.least_squares(A, b, F=F, method="seminormal",
                                            refine=3, equilibrate=True)
             t_ref = time.time() - t0
-            res = min(res_plain, relres(x1))
+            res = min(res_plain, relres(x1), relres(x2))
         except Exception as e:
             print(f"{name:<18}{f'{m}x{n}':<14}{A.nnz:>8}  bench failed: "
                   f"{type(e).__name__}: {e}")
