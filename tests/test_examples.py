@@ -65,6 +65,8 @@ E2E_TWINS = [
     ("cluster_gcn_ppi", r"micro-F1 (\d+\.\d+)", "min", 0.70, None),  # 0.83
     ("gcn2_ppi", r"micro-F1 (\d+\.\d+)", "min", 0.75, None),       # 0.87
     ("dgcnn_segmentation", r"point acc (\d+\.\d+)", "min", 0.90, None),  # 0.99
+    # frame-resident SpMM-plan training (the round-5 deployment recipe)
+    ("reddit_fullbatch_plan", r"train acc=(\d+\.\d+)", "min", 0.30, None),  # 0.40
 ]
 
 
