@@ -54,11 +54,24 @@ def predict_ordering(path, ckpt, hidden, readout):
     g = pad_to_bucket(batch_graphs([g]), num_graphs=2)
     model = ReorderClassifier(hidden=hidden, readout=readout)
     params = model.init(jax.random.PRNGKey(0), g)
-    with open(ckpt, "rb") as f:
-        state = flax.serialization.from_bytes({"params": params}, f.read())
+    # `ckpt` may be a single checkpoint, a comma-separated list, or an
+    # ENSEMBLE.txt-style list file (the promoted top-5-by-val recipe)
+    paths = [ckpt]
+    if "," in ckpt:
+        paths = ckpt.split(",")
+    elif ckpt.endswith(".txt"):
+        with open(ckpt) as f:
+            paths = [ln.strip() for ln in f
+                     if ln.strip() and not ln.startswith("#")]
+    all_params = []
+    for p in paths:
+        with open(p, "rb") as f:
+            all_params.append(
+                flax.serialization.from_bytes({"params": params}, f.read()))
     t0 = time.time()
-    out = model.apply(state["params"], g, train=False)
-    pred = int(jnp.argmax(out[0]))
+    probs = sum(jnp.exp(model.apply(st["params"], g, train=False))
+                for st in all_params)
+    pred = int(jnp.argmax(probs[0]))
     return pred, time.time() - t0
 
 
