@@ -393,3 +393,21 @@ class TestLayerPlans:
         plan = build_mean_plan(s, r, g.num_nodes)
         out = layer.apply(params, jnp.asarray(x), g, plan=plan)
         np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_bench_banded_plan_shape_pinned():
+    # the bench.py headline depends on: pure-BSR method, bc=256 (the
+    # recalibrated cost model's pick), and uniform-2 block rows (the
+    # paired one-step-per-row kernel dispatch) — pin them so a planner
+    # change can't silently drop the headline kernel
+    rng = np.random.default_rng(0)
+    n, e = 1 << 14, 1 << 19  # bench shape scaled down, same density/band
+    s = np.repeat(np.arange(n, dtype=np.int64), e // n)
+    r = (s + rng.integers(-64, 65, size=e)) % n
+    w = rng.normal(size=e).astype(np.float32)
+    plan = build_spmm_plan(s, r, n, edge_weight=w)
+    assert plan.method == "bsr"
+    assert plan.perm is None
+    assert plan.bsr_fwd.block_cols == 256
+    assert plan.bsr_fwd.uniform_j == 2
+    assert plan.bsr_bwd.uniform_j == 2
